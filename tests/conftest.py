@@ -1,0 +1,25 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+The environment's sitecustomize registers a remote-TPU PJRT plugin and forces
+``jax_platforms`` to it, overriding the JAX_PLATFORMS env var. Device->host
+transfers through that tunnel stall for tens of seconds, so tests must
+re-override the config to the local CPU backend *after* importing jax but
+before any computation. Real-TPU benchmarking happens in bench.py, which does
+not import this.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
