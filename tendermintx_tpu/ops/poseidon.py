@@ -1,0 +1,214 @@
+"""Poseidon permutation over Goldilocks, width 12 — transcript & Merkle hash.
+
+TPU-native equivalent of the reference's `AlgebraicHasher` (plonky2 Poseidon;
+consumed via trait bounds at /root/reference/circuits/step.rs:122-123 and
+skip.rs:138-139). Parameters follow the published Poseidon spec shape used by
+plonky2 (width t=12, x^7 S-box, 8 full + 22 partial rounds) but round
+constants and the MDS matrix are generated here from a nothing-up-my-sleeve
+SHA-256 expansion and a provably-MDS Cauchy construction — bit-exactness with
+plonky2's transcript is not required (only public inputs must match the
+reference; SURVEY.md §6).
+
+Two implementations, tested against each other:
+  * `permute_ints` — sequential Python-int oracle (host-side challenger).
+  * `permute`      — batched JAX permutation on GF arrays of shape (B, 12).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .goldilocks import GF, P, add, mul
+
+WIDTH = 12
+RATE = 8
+CAPACITY = 4
+DIGEST = 4
+FULL_ROUNDS = 8  # 4 + 4
+PARTIAL_ROUNDS = 22
+N_ROUNDS = FULL_ROUNDS + PARTIAL_ROUNDS
+SBOX = 7
+
+_DOMAIN = b"TendermintX-TPU Poseidon v1"
+
+
+def _expand(tag: bytes, count: int) -> list[int]:
+    """Deterministic nothing-up-my-sleeve field elements via SHA-256 counter
+    mode with rejection sampling."""
+    out = []
+    ctr = 0
+    while len(out) < count:
+        h = hashlib.sha256(_DOMAIN + b"/" + tag + b"/" + ctr.to_bytes(8, "big")).digest()
+        for off in (0, 8, 16, 24):
+            v = int.from_bytes(h[off : off + 8], "little")
+            if v < P:
+                out.append(v)
+                if len(out) == count:
+                    break
+        ctr += 1
+    return out
+
+
+@lru_cache(maxsize=None)
+def round_constants() -> list[list[int]]:
+    """N_ROUNDS x WIDTH round constants."""
+    flat = _expand(b"rc", N_ROUNDS * WIDTH)
+    return [flat[r * WIDTH : (r + 1) * WIDTH] for r in range(N_ROUNDS)]
+
+
+@lru_cache(maxsize=None)
+def mds_matrix() -> list[list[int]]:
+    """WIDTH x WIDTH Cauchy matrix M[i][j] = 1/(x_i + y_j): provably MDS.
+
+    x_i = i, y_j = WIDTH + j — all x_i + y_j in [12, 34], nonzero mod p, and
+    x_i, y_j sequences are injective with disjoint ranges, so every square
+    submatrix of the Cauchy matrix is nonsingular.
+    """
+    return [
+        [pow(i + WIDTH + j, P - 2, P) for j in range(WIDTH)]
+        for i in range(WIDTH)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Python-int oracle (host side: challenger / verifier / tests)
+# ---------------------------------------------------------------------------
+
+
+def _sbox_int(x: int) -> int:
+    x2 = x * x % P
+    x3 = x2 * x % P
+    x4 = x2 * x2 % P
+    return x3 * x4 % P
+
+
+def _mds_int(state: list[int]) -> list[int]:
+    m = mds_matrix()
+    return [sum(m[i][j] * state[j] for j in range(WIDTH)) % P for i in range(WIDTH)]
+
+
+def permute_ints(state: list[int]) -> list[int]:
+    """Sequential Poseidon permutation on WIDTH Python ints."""
+    assert len(state) == WIDTH
+    s = [x % P for x in state]
+    rc = round_constants()
+    half = FULL_ROUNDS // 2
+    r = 0
+    for _ in range(half):
+        s = [(x + c) % P for x, c in zip(s, rc[r])]
+        s = [_sbox_int(x) for x in s]
+        s = _mds_int(s)
+        r += 1
+    for _ in range(PARTIAL_ROUNDS):
+        s = [(x + c) % P for x, c in zip(s, rc[r])]
+        s[0] = _sbox_int(s[0])
+        s = _mds_int(s)
+        r += 1
+    for _ in range(half):
+        s = [(x + c) % P for x, c in zip(s, rc[r])]
+        s = [_sbox_int(x) for x in s]
+        s = _mds_int(s)
+        r += 1
+    return s
+
+
+def hash_ints(inputs: list[int]) -> list[int]:
+    """Sponge hash (overwrite mode, no padding — fixed-length use only) of an
+    arbitrary number of field elements to a DIGEST-element output."""
+    state = [0] * WIDTH
+    for i in range(0, len(inputs), RATE):
+        chunk = inputs[i : i + RATE]
+        for j, v in enumerate(chunk):
+            state[j] = v % P
+        state = permute_ints(state)
+    return state[:DIGEST]
+
+
+def two_to_one_ints(left: list[int], right: list[int]) -> list[int]:
+    state = list(left) + list(right) + [0] * (WIDTH - 2 * DIGEST)
+    return permute_ints(state)[:DIGEST]
+
+
+# ---------------------------------------------------------------------------
+# Batched JAX permutation
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _host_params():
+    from .goldilocks import from_int_array
+
+    rc = from_int_array(np.array(round_constants(), dtype=object))  # (30, 12)
+    mds = from_int_array(np.array(mds_matrix(), dtype=object))  # (12, 12)
+    return rc, mds
+
+
+def _device_params():
+    # Rebuilt per call: caching jax arrays across jit traces leaks tracers.
+    (rc_lo, rc_hi), (m_lo, m_hi) = _host_params()
+    return GF(jnp.asarray(rc_lo), jnp.asarray(rc_hi)), GF(
+        jnp.asarray(m_lo), jnp.asarray(m_hi)
+    )
+
+
+def _sbox(x: GF) -> GF:
+    x2 = x.square()
+    x3 = x2 * x
+    x4 = x2.square()
+    return x3 * x4
+
+
+def _mds_apply(state: GF, mds: GF) -> GF:
+    """state (..., 12) x mds (12, 12) -> (..., 12): out[i] = sum_j M[i,j] s[j]."""
+    s = state.reshape(*state.shape[:-1], 1, WIDTH)
+    prod = s.broadcast_to(s.shape[:-2] + (WIDTH, WIDTH)) * mds
+    return prod.sum(axis=-1)
+
+
+def permute(state: GF) -> GF:
+    """Batched Poseidon permutation: state shape (..., 12)."""
+    rc, mds = _device_params()
+    half = FULL_ROUNDS // 2
+
+    def full_round(r, s):
+        s = s + rc[r].broadcast_to(s.shape)
+        s = _sbox(s)
+        return _mds_apply(s, mds)
+
+    def partial_round(r, s):
+        s = s + rc[r].broadcast_to(s.shape)
+        first = _sbox(s[..., :1])
+        s = GF.concatenate([first, s[..., 1:]], axis=-1)
+        return _mds_apply(s, mds)
+
+    state = jax.lax.fori_loop(0, half, full_round, state)
+    state = jax.lax.fori_loop(half, half + PARTIAL_ROUNDS, partial_round, state)
+    state = jax.lax.fori_loop(half + PARTIAL_ROUNDS, N_ROUNDS, full_round, state)
+    return state
+
+
+def hash_no_pad(inputs: GF) -> GF:
+    """Batched sponge hash: inputs (..., L) -> digest (..., 4). L static."""
+    L = inputs.shape[-1]
+    batch_shape = inputs.shape[:-1]
+    state = GF.zeros(batch_shape + (WIDTH,))
+    for i in range(0, L, RATE):
+        chunk = inputs[..., i : i + RATE]
+        n = chunk.shape[-1]
+        state = GF.concatenate([chunk, state[..., n:]], axis=-1)
+        state = permute(state)
+    return state[..., :DIGEST]
+
+
+def two_to_one(left: GF, right: GF) -> GF:
+    """Batched 2-to-1 compression: (...,4),(...,4) -> (...,4)."""
+    batch_shape = left.shape[:-1]
+    state = GF.concatenate(
+        [left, right, GF.zeros(batch_shape + (WIDTH - 2 * DIGEST,))], axis=-1
+    )
+    return permute(state)[..., :DIGEST]

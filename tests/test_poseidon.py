@@ -1,0 +1,63 @@
+"""Poseidon: JAX batched permutation vs Python-int oracle; sponge semantics."""
+
+import jax
+import numpy as np
+
+from tendermintx_tpu.ops import poseidon as ps
+from tendermintx_tpu.ops.goldilocks import GF, P
+
+rng = np.random.default_rng(7)
+
+
+def rand_states(b):
+    return [[int(rng.integers(0, 2**63)) % P for _ in range(ps.WIDTH)] for _ in range(b)]
+
+
+def test_permute_matches_oracle():
+    states = rand_states(5) + [[0] * 12, [1] * 12, [P - 1] * 12]
+    x = GF.from_ints(np.array(states, dtype=object))
+    out = jax.jit(ps.permute)(x).to_ints().tolist()
+    want = [ps.permute_ints(s) for s in states]
+    assert out == want
+
+
+def test_permutation_is_bijective_sanity():
+    # distinct inputs -> distinct outputs (trivial collision check)
+    states = rand_states(50)
+    x = GF.from_ints(np.array(states, dtype=object))
+    out = jax.jit(ps.permute)(x).to_ints().tolist()
+    assert len({tuple(o) for o in out}) == 50
+
+
+def test_hash_and_compress_match_oracle():
+    for L in (4, 8, 11, 16, 20):
+        inputs = [[int(rng.integers(0, 2**63)) % P for _ in range(L)] for _ in range(3)]
+        x = GF.from_ints(np.array(inputs, dtype=object))
+        got = jax.jit(ps.hash_no_pad)(x).to_ints().tolist()
+        want = [ps.hash_ints(row) for row in inputs]
+        assert got == want, f"L={L}"
+    l = [[int(rng.integers(0, 2**63)) % P for _ in range(4)] for _ in range(3)]
+    r = [[int(rng.integers(0, 2**63)) % P for _ in range(4)] for _ in range(3)]
+    got = jax.jit(ps.two_to_one)(
+        GF.from_ints(np.array(l, dtype=object)), GF.from_ints(np.array(r, dtype=object))
+    ).to_ints().tolist()
+    want = [ps.two_to_one_ints(a, b) for a, b in zip(l, r)]
+    assert got == want
+
+
+def test_mds_is_invertible():
+    # determinant of the Cauchy matrix must be nonzero (sanity; Cauchy is MDS)
+    m = [row[:] for row in ps.mds_matrix()]
+    n = len(m)
+    det = 1
+    for col in range(n):
+        piv = next(r for r in range(col, n) if m[r][col] != 0)
+        if piv != col:
+            m[col], m[piv] = m[piv], m[col]
+            det = -det % P
+        det = det * m[col][col] % P
+        inv = pow(m[col][col], P - 2, P)
+        for r in range(col + 1, n):
+            f = m[r][col] * inv % P
+            m[r] = [(a - f * b) % P for a, b in zip(m[r], m[col])]
+    assert det != 0
