@@ -1,0 +1,316 @@
+"""FRI low-degree proof: device-side folding/commitment, host-side verify.
+
+TPU-native equivalent of plonky2's FRI commit/query phases (SURVEY.md N3, the
+hot loop of `circuit.prove()` — /root/reference/circuits/step.rs:223,
+README.md:90's "4-10 minutes" is dominated by this phase in the reference).
+
+Values are in the quadratic extension GF(p^2) (DEEP/ALI challenges live
+there). Each commit-phase layer is Merkle-committed with Poseidon; folding is
+arity 2:
+
+    E'(x^2) = (E(x) + E(-x))/2 + beta * (E(x) - E(-x)) / (2x)
+
+with the index convention x_{i + N/2} = -x_i on the coset shift*<w_N>, so a
+fold pairs positions (i, i + N/2) and preserves natural ordering on the
+squared domain shift^2 * <w_{N/2}>.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import ntt as nttmod
+from ..ops import poseidon as ps
+from ..ops.ext import GF2, ext_add, ext_inv, ext_mul, ext_sub
+from ..ops.goldilocks import GF, P, MULTIPLICATIVE_GENERATOR, from_int_array
+from ..ops.merkle import MerkleTree, verify_opening
+from .challenger import Challenger
+
+
+@dataclass
+class FriConfig:
+    rate_bits: int = 3
+    n_queries: int = 32
+    final_poly_len: int = 32  # max number of coefficients in the final poly
+
+    @property
+    def security_bits(self) -> int:
+        return self.rate_bits * self.n_queries
+
+
+@dataclass
+class FriProof:
+    layer_roots: list[list[int]]  # Merkle root per commit layer
+    final_poly: list[tuple[int, int]]  # ext coefficients
+    # query_rounds[q][layer] = ((val_lo, val_hi), path_lo, path_hi) where
+    # val_* are ext values at (i, i+N/2) and path_* their Merkle paths.
+    query_rounds: list[list[tuple]] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# Device folding
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _inv_x_table(log_n: int, shift: int):
+    """(2x_i)^{-1} for i < N/2 on coset shift*<w_N>, as numpy limb pairs."""
+    n = 1 << log_n
+    w = nttmod.primitive_root_of_unity(log_n)
+    vals = []
+    acc = shift % P
+    for _ in range(n // 2):
+        vals.append(pow(2 * acc % P, P - 2, P))
+        acc = acc * w % P
+    return from_int_array(np.array(vals, dtype=object))
+
+
+def _fold_layer(evals: GF2, beta: GF2, invx: GF) -> GF2:
+    """One arity-2 fold. evals: (N,) GF2, beta: (1,) GF2, invx = (2x_i)^{-1}
+    for i < N/2. Returns (N/2,) evals on the squared domain."""
+    n = evals.shape[0]
+    half = n // 2
+    e = evals[:half]
+    o = evals[half:]
+    s = e + o  # E(x) + E(-x)
+    d = e - o  # E(x) - E(-x)
+    # (s/2) + beta * d * (2x)^{-1}
+    inv2 = _gf_scalar(pow(2, P - 2, P), (half,))
+    s_half = GF2(s.c0 * inv2, s.c1 * inv2)
+    d_scaled = GF2(d.c0 * invx, d.c1 * invx)
+    beta_b = GF2(beta.c0.broadcast_to((half,)), beta.c1.broadcast_to((half,)))
+    return s_half + (beta_b * d_scaled)
+
+
+def _gf_scalar(c: int, shape) -> GF:
+    return GF(
+        jnp.full(shape, np.uint32(c & 0xFFFFFFFF), jnp.uint32),
+        jnp.full(shape, np.uint32(c >> 32), jnp.uint32),
+    )
+
+
+_fold_jit = jax.jit(_fold_layer)
+
+
+def _commit_layer(evals: GF2) -> MerkleTree:
+    rows = GF.stack([evals.c0, evals.c1], axis=-1)  # (N, 2)
+    return MerkleTree.build(rows)
+
+
+# ---------------------------------------------------------------------------
+# Prover
+# ---------------------------------------------------------------------------
+
+
+def fri_prove(
+    evals: GF2,
+    challenger: Challenger,
+    config: FriConfig,
+    shift: int = MULTIPLICATIVE_GENERATOR,
+) -> FriProof:
+    """Prove that `evals` (on coset shift*<w_N>, natural order) is the LDE of
+    a polynomial of degree < N / 2^rate_bits."""
+    n = int(evals.shape[0])
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+
+    layers: list[GF2] = [evals]
+    trees: list[MerkleTree] = []
+    roots: list[list[int]] = []
+    cur_shift = shift % P
+    cur = evals
+    cur_n = n
+
+    # Commit phase: fold until the claimed degree fits in final_poly_len.
+    while cur_n > config.final_poly_len << config.rate_bits:
+        tree = _commit_layer(cur)
+        trees.append(tree)
+        roots.append(tree.root)
+        challenger.observe_digest(tree.root)
+        beta = challenger.sample_ext()
+        invx = _inv_x_table(cur_n.bit_length() - 1, cur_shift)
+        invx_gf = GF(jnp.asarray(invx[0]), jnp.asarray(invx[1]))
+        beta_gf2 = GF2(
+            _gf_scalar(beta[0], (1,)), _gf_scalar(beta[1], (1,))
+        )
+        cur = _fold_jit(cur, beta_gf2, invx_gf)
+        cur_shift = cur_shift * cur_shift % P
+        cur_n //= 2
+        layers.append(cur)
+
+    # Final polynomial: iNTT the last layer on host (small), unscale coset.
+    c0, c1 = cur.to_ints()
+    final_coeffs = _coset_intt_ext(list(zip(c0.tolist(), c1.tolist())), cur_shift)
+    # trim: degree < cur_n / 2^rate_bits
+    keep = cur_n >> config.rate_bits
+    assert all(c == (0, 0) for c in final_coeffs[keep:]), "final poly degree too high"
+    final_coeffs = final_coeffs[:keep]
+    for c in final_coeffs:
+        challenger.observe_ext(c)
+
+    # Query phase.
+    query_indices = challenger.sample_indices(config.n_queries, n)
+    host_layers = [None] * len(trees)
+    query_rounds = []
+    for q in query_indices:
+        per_layer = []
+        idx = q
+        for l, tree in enumerate(trees):
+            size = n >> l
+            half = size // 2
+            i = idx % half
+            j = i + half
+            if host_layers[l] is None:
+                lc0, lc1 = layers[l].to_ints()
+                host_layers[l] = (lc0.tolist(), lc1.tolist())
+            lc0, lc1 = host_layers[l]
+            val_i = (lc0[i], lc1[i])
+            val_j = (lc0[j], lc1[j])
+            per_layer.append((val_i, val_j, tree.open(i), tree.open(j)))
+            idx = i
+        query_rounds.append(per_layer)
+
+    return FriProof(layer_roots=roots, final_poly=final_coeffs, query_rounds=query_rounds)
+
+
+def _coset_intt_ext(evals: list[tuple[int, int]], shift: int) -> list[tuple[int, int]]:
+    """Host inverse NTT of ext values on coset shift*<w_n> -> coefficients."""
+    n = len(evals)
+    # inverse NTT on each component via forward NTT trick: intt(x)[k] =
+    # ntt(x)[-k] / n ; easier: use recursive intt via conjugate domain.
+    c0 = _intt_ints([e[0] for e in evals])
+    c1 = _intt_ints([e[1] for e in evals])
+    sinv = pow(shift, P - 2, P)
+    out = []
+    acc = 1
+    for k in range(n):
+        out.append((c0[k] * acc % P, c1[k] * acc % P))
+        acc = acc * sinv % P
+    return out
+
+
+def _intt_ints(evals: list[int]) -> list[int]:
+    n = len(evals)
+    if n == 1:
+        return list(evals)
+    # intt = (1/n) * NTT with inverse root ordering: ntt_w^{-1}(x)
+    out = _ntt_with_root([e % P for e in evals], pow(nttmod.primitive_root_of_unity(n.bit_length() - 1), P - 2, P))
+    ninv = pow(n, P - 2, P)
+    return [x * ninv % P for x in out]
+
+
+def _ntt_with_root(coeffs: list[int], w: int) -> list[int]:
+    n = len(coeffs)
+    if n == 1:
+        return list(coeffs)
+    w2 = w * w % P
+    even = _ntt_with_root(coeffs[0::2], w2)
+    odd = _ntt_with_root(coeffs[1::2], w2)
+    out = [0] * n
+    wk = 1
+    for k in range(n // 2):
+        t = wk * odd[k] % P
+        out[k] = (even[k] + t) % P
+        out[k + n // 2] = (even[k] - t) % P
+        wk = wk * w % P
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Verifier (host)
+# ---------------------------------------------------------------------------
+
+
+def fri_verify(
+    proof: FriProof,
+    degree_bound: int,
+    n: int,
+    challenger: Challenger,
+    config: FriConfig,
+    shift: int = MULTIPLICATIVE_GENERATOR,
+    layer0_check=None,
+) -> bool:
+    """Verify a FRI proof for evals of size n claiming degree < degree_bound.
+
+    `layer0_check(index, ext_value) -> bool`, when given, must confirm the
+    opened layer-0 value matches an externally recomputed value (the DEEP
+    composition in a full STARK).
+    """
+    if degree_bound << config.rate_bits != n:
+        return False
+    n_layers = len(proof.layer_roots)
+    # Recompute the expected number of folds (mirrors the prover loop).
+    cur_n = n
+    expected_layers = 0
+    while cur_n > config.final_poly_len << config.rate_bits:
+        expected_layers += 1
+        cur_n //= 2
+    if n_layers != expected_layers:
+        return False
+    if len(proof.final_poly) > (cur_n >> config.rate_bits):
+        return False
+
+    # Re-derive challenges.
+    betas = []
+    for root in proof.layer_roots:
+        challenger.observe_digest(root)
+        betas.append(challenger.sample_ext())
+    for c in proof.final_poly:
+        challenger.observe_ext(c)
+    query_indices = challenger.sample_indices(config.n_queries, n)
+
+    if len(proof.query_rounds) != config.n_queries:
+        return False
+
+    inv2 = pow(2, P - 2, P)
+    for q, per_layer in zip(query_indices, proof.query_rounds):
+        if len(per_layer) != n_layers:
+            return False
+        idx = q
+        prev_folded = None
+        cur_shift = shift % P
+        for l, (val_i, val_j, path_i, path_j) in enumerate(per_layer):
+            size = n >> l
+            half = size // 2
+            i = idx % half
+            j = i + half
+            root = proof.layer_roots[l]
+            val_i = tuple(val_i)
+            val_j = tuple(val_j)
+            if not verify_opening(root, i, [val_i[0], val_i[1]], path_i):
+                return False
+            if not verify_opening(root, j, [val_j[0], val_j[1]], path_j):
+                return False
+            value_at_idx = val_i if idx < half else val_j
+            if l == 0:
+                if layer0_check is not None and not layer0_check(q, value_at_idx):
+                    return False
+            elif value_at_idx != prev_folded:
+                return False
+            # Fold to next layer: value at position i of layer l+1.
+            w = nttmod.primitive_root_of_unity(size.bit_length() - 1)
+            x_i = cur_shift * pow(w, i, P) % P
+            s = ext_add(val_i, val_j)
+            d = ext_sub(val_i, val_j)
+            invx = pow(2 * x_i % P, P - 2, P)
+            prev_folded = ext_add(
+                (s[0] * inv2 % P, s[1] * inv2 % P),
+                ext_mul(betas[l], (d[0] * invx % P, d[1] * invx % P)),
+            )
+            idx = i
+            cur_shift = cur_shift * cur_shift % P
+        # Final layer: folded value must equal final_poly at the domain point.
+        size = n >> n_layers
+        w = nttmod.primitive_root_of_unity(size.bit_length() - 1)
+        pt = cur_shift * pow(w, idx, P) % P
+        acc = (0, 0)
+        for c in reversed(proof.final_poly):
+            acc = ext_add(ext_mul(acc, (pt, 0)), tuple(c))
+        if acc != prev_folded:
+            return False
+    return True
