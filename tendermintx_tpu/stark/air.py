@@ -1,0 +1,114 @@
+"""AIR (algebraic intermediate representation) abstraction.
+
+TPU-native equivalent of the reference's constraint-system layer (SURVEY.md
+N4: plonky2's Plonk/AIR gates consumed via `Circuit::define`,
+/root/reference/circuits/step.rs:104-127). Instead of a mutating builder, an
+AIR here is a *traced constraint program*: one Python function evaluated both
+
+  * on device over whole LDE-domain row vectors (base-field `GF` arrays,
+    vectorized over all rows at once), and
+  * on host at a single out-of-domain point (extension-field ints),
+
+so the prover and verifier share one source of truth for the constraints.
+
+Constraints are polynomial expressions in frame values using only +, -, *
+and `alg.const(c)`. Three groups, each with its own zerofier:
+  transition — vanish on all rows but the last
+  first      — vanish on row 0
+  last       — vanish on row n-1
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..ops.ext import ext_add, ext_mul, ext_sub
+from ..ops.goldilocks import GF, P
+
+
+class HostFelt:
+    """Extension-field element with operator overloading (host evaluation)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = (v[0] % P, v[1] % P)
+
+    def __add__(self, o):
+        return HostFelt(ext_add(self.v, o.v))
+
+    def __sub__(self, o):
+        return HostFelt(ext_sub(self.v, o.v))
+
+    def __mul__(self, o):
+        return HostFelt(ext_mul(self.v, o.v))
+
+    def __neg__(self):
+        return HostFelt((-self.v[0] % P, -self.v[1] % P))
+
+
+class HostAlgebra:
+    felt = HostFelt
+
+    @staticmethod
+    def const(c: int):
+        return HostFelt((c % P, 0))
+
+
+class DeviceAlgebra:
+    """Constraint evaluation over base-field row vectors (shape (N,))."""
+
+    def __init__(self, n_rows: int):
+        self.n_rows = n_rows
+
+    def const(self, c: int):
+        import jax.numpy as jnp
+        import numpy as np
+
+        return GF(
+            jnp.full((self.n_rows,), np.uint32(c & 0xFFFFFFFF), jnp.uint32),
+            jnp.full((self.n_rows,), np.uint32((c % P) >> 32), jnp.uint32),
+        )
+
+
+@dataclass
+class Frame:
+    """One evaluation frame: values of every trace column on the current row
+    and the next row, plus public inputs (already lifted to the algebra)."""
+
+    local: list
+    next: list
+    public: list
+
+
+class Air:
+    """Subclass and override. `n_cols`/`constraint_degree` are class attrs."""
+
+    n_cols: int = 0
+    n_public: int = 0
+    constraint_degree: int = 3  # max total degree of any constraint
+
+    def eval_transition(self, frame: Frame, alg) -> list:
+        return []
+
+    def eval_first(self, frame: Frame, alg) -> list:
+        return []
+
+    def eval_last(self, frame: Frame, alg) -> list:
+        return []
+
+    @property
+    def n_constraints(self) -> int:
+        # Evaluate symbolically on host with zeros to count constraints.
+        zero = HostFelt((0, 0))
+        frame = Frame(
+            local=[zero] * self.n_cols,
+            next=[zero] * self.n_cols,
+            public=[zero] * self.n_public,
+        )
+        alg = HostAlgebra()
+        return (
+            len(self.eval_first(frame, alg))
+            + len(self.eval_transition(frame, alg))
+            + len(self.eval_last(frame, alg))
+        )

@@ -50,6 +50,9 @@ class FriProof:
     # query_rounds[q][layer] = ((val_lo, val_hi), path_lo, path_hi) where
     # val_* are ext values at (i, i+N/2) and path_* their Merkle paths.
     query_rounds: list[list[tuple]] = field(default_factory=list)
+    # Prover-side convenience only (the verifier re-derives these from the
+    # transcript): the sampled layer-0 query indices.
+    query_indices: list[int] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -175,7 +178,12 @@ def fri_prove(
             idx = i
         query_rounds.append(per_layer)
 
-    return FriProof(layer_roots=roots, final_poly=final_coeffs, query_rounds=query_rounds)
+    return FriProof(
+        layer_roots=roots,
+        final_poly=final_coeffs,
+        query_rounds=query_rounds,
+        query_indices=query_indices,
+    )
 
 
 def _coset_intt_ext(evals: list[tuple[int, int]], shift: int) -> list[tuple[int, int]]:

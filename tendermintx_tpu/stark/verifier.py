@@ -1,0 +1,144 @@
+"""STARK verifier (host-side, Python ints).
+
+Mirrors the prover's transcript exactly; cheap enough that it needs no
+device compute. Equivalent role to `circuit.verify()` in the reference
+(/root/reference/circuits/step.rs:226).
+"""
+
+from __future__ import annotations
+
+from ..ops import ntt as nttmod
+from ..ops.ext import ext_add, ext_inv, ext_mul, ext_pow, ext_sub
+from ..ops.goldilocks import P
+from ..ops.merkle import verify_opening
+from .air import Air, Frame, HostAlgebra, HostFelt
+from .challenger import Challenger
+from .fri import fri_verify
+from .prover import StarkConfig, StarkProof
+
+
+def verify(air: Air, proof: StarkProof, config: StarkConfig = StarkConfig()) -> bool:
+    n = proof.n_rows
+    log_n = n.bit_length() - 1
+    if 1 << log_n != n:
+        return False
+    rate_bits = config.rate_bits
+    N = n << rate_bits
+    shift = config.shift
+    n_cols = air.n_cols
+    n_chunks = air.constraint_degree - 1
+
+    if len(proof.ood_trace_local) != n_cols or len(proof.ood_trace_next) != n_cols:
+        return False
+    if len(proof.ood_quotient) != n_chunks:
+        return False
+    if len(proof.public_inputs) != air.n_public:
+        return False
+
+    # --- transcript replay ---
+    challenger = Challenger()
+    challenger.observe_elements(proof.public_inputs)
+    challenger.observe_digest(proof.trace_root)
+    alpha = challenger.sample_ext()
+    challenger.observe_digest(proof.quotient_root)
+    z = challenger.sample_ext()
+    for v in list(proof.ood_trace_local) + list(proof.ood_trace_next) + list(
+        proof.ood_quotient
+    ):
+        challenger.observe_ext(tuple(v))
+    beta = challenger.sample_ext()
+
+    g_trace = nttmod.primitive_root_of_unity(log_n)
+    zw = ext_mul(z, (g_trace, 0))
+    g_last = pow(g_trace, n - 1, P)
+
+    # --- OOD composition identity ---
+    frame = Frame(
+        local=[HostFelt(tuple(v)) for v in proof.ood_trace_local],
+        next=[HostFelt(tuple(v)) for v in proof.ood_trace_next],
+        public=[HostFelt((v % P, 0)) for v in proof.public_inputs],
+    )
+    alg = HostAlgebra()
+    z_pow_n = ext_pow(z, n)
+    zh = ext_sub(z_pow_n, (1, 0))  # z^n - 1
+    zinv_transition = ext_mul(ext_sub(z, (g_last, 0)), ext_inv(zh))
+    zinv_first = ext_inv(ext_sub(z, (1, 0)))
+    zinv_last = ext_inv(ext_sub(z, (g_last, 0)))
+
+    groups = [
+        ("first", air.eval_first(frame, alg), zinv_first),
+        ("transition", air.eval_transition(frame, alg), zinv_transition),
+        ("last", air.eval_last(frame, alg), zinv_last),
+    ]
+    lhs = (0, 0)
+    a_pow = (1, 0)
+    for _, constraints, zi in groups:
+        for c in constraints:
+            lhs = ext_add(lhs, ext_mul(a_pow, ext_mul(c.v, zi)))
+            a_pow = ext_mul(a_pow, alpha)
+    rhs = (0, 0)
+    for j in range(n_chunks):
+        rhs = ext_add(
+            rhs, ext_mul(ext_pow(z, n * j), tuple(proof.ood_quotient[j]))
+        )
+    if lhs != rhs:
+        return False
+
+    # --- DEEP layer-0 recomputation hook for FRI ---
+    # beta powers in prover order: trace locals, chunks (A-part), then trace
+    # nexts (B-part).
+    betas_A = []
+    b_pow = (1, 0)
+    A0 = (0, 0)
+    for i in range(n_cols):
+        betas_A.append(b_pow)
+        A0 = ext_add(A0, ext_mul(b_pow, tuple(proof.ood_trace_local[i])))
+        b_pow = ext_mul(b_pow, beta)
+    betas_Q = []
+    for j in range(n_chunks):
+        betas_Q.append(b_pow)
+        A0 = ext_add(A0, ext_mul(b_pow, tuple(proof.ood_quotient[j])))
+        b_pow = ext_mul(b_pow, beta)
+    betas_B = []
+    B0 = (0, 0)
+    for i in range(n_cols):
+        betas_B.append(b_pow)
+        B0 = ext_add(B0, ext_mul(b_pow, tuple(proof.ood_trace_next[i])))
+        b_pow = ext_mul(b_pow, beta)
+
+    w_N = nttmod.primitive_root_of_unity(log_n + rate_bits)
+
+    def layer0_check(idx: int, val: tuple[int, int]) -> bool:
+        opening = proof.openings.get(idx)
+        if opening is None:
+            return False
+        trace_row, trace_path, quot_row, quot_path = opening
+        if len(trace_row) != n_cols or len(quot_row) != 2 * n_chunks:
+            return False
+        if not verify_opening(proof.trace_root, idx, list(trace_row), trace_path):
+            return False
+        if not verify_opening(proof.quotient_root, idx, list(quot_row), quot_path):
+            return False
+        x = shift * pow(w_N, idx, P) % P
+        A = (0, 0)
+        for i in range(n_cols):
+            A = ext_add(A, ext_mul(betas_A[i], (trace_row[i] % P, 0)))
+        for j in range(n_chunks):
+            chunk_val = (quot_row[2 * j] % P, quot_row[2 * j + 1] % P)
+            A = ext_add(A, ext_mul(betas_Q[j], chunk_val))
+        B = (0, 0)
+        for i in range(n_cols):
+            B = ext_add(B, ext_mul(betas_B[i], (trace_row[i] % P, 0)))
+        t1 = ext_mul(ext_sub(A, A0), ext_inv(ext_sub((x, 0), z)))
+        t2 = ext_mul(ext_sub(B, B0), ext_inv(ext_sub((x, 0), zw)))
+        return ext_add(t1, t2) == tuple(val)
+
+    return fri_verify(
+        proof.fri_proof,
+        degree_bound=n,
+        n=N,
+        challenger=challenger,
+        config=config.fri,
+        shift=shift,
+        layer0_check=layer0_check,
+    )
