@@ -130,6 +130,25 @@ def get_validator_data_from_block(
     return out
 
 
+def signature_lanes(lanes: list[ValidatorData]):
+    """(pubkeys, messages, signatures) for the batched conditional Ed25519
+    verify: lanes with signed=False substitute the dummy triple so every lane
+    verifies (the reference's `curta_eddsa_verify_sigs_conditional`
+    semantics — verify.rs:248-259). The real pubkey stays in the lane for
+    validator-set hashing."""
+    pks, msgs, sigs = [], [], []
+    for l in lanes:
+        if l.signed:
+            pks.append(l.pubkey)
+            msgs.append(l.message[: l.message_byte_length])
+            sigs.append(l.signature)
+        else:
+            pks.append(DUMMY_PUBLIC_KEY)
+            msgs.append(DUMMY_MESSAGE)
+            sigs.append(DUMMY_SIGNATURE)
+    return pks, msgs, sigs
+
+
 def validator_hash_field_from_block(
     validators: list[Validator], max_validators: int
 ) -> list[ValidatorHashField]:
