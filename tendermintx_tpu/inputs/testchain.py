@@ -62,6 +62,8 @@ class TestValidator:
 class TestChain:
     """Deterministic synthetic chain for a fixed validator set."""
 
+    __test__ = False  # not a pytest class
+
     def __init__(
         self,
         n_validators: int = 4,

@@ -239,9 +239,11 @@ def to_canonical(x):
     p_limbs = jnp.asarray(int_to_limbs(P25519))
 
     def try_sub(x):
-        # limbwise base-2^13 subtraction with borrow; keep only if >= p
-        borrow0 = jnp.zeros(x.shape[:-1], jnp.uint32)
-        out0 = jnp.zeros_like(x)
+        # limbwise base-2^13 subtraction with borrow; keep only if >= p.
+        # Derive the initial carry from x so its sharding/varying type
+        # matches the loop body's output under shard_map.
+        borrow0 = x[..., 0] * 0
+        out0 = x * 0
 
         def step(i, carry):
             borrow, out = carry
@@ -315,11 +317,12 @@ def straus_verify(table_x, table_y, table_t, bits2, rx, ry):
     rx, ry:  (B, 20) affine R
     Returns: (B,) bool — [s]B + [k](-A) == R.
     """
-    Bsz = table_x.shape[0]
-    X = jnp.zeros((Bsz, N_LIMBS), jnp.uint32)
-    Y = jnp.zeros((Bsz, N_LIMBS), jnp.uint32).at[..., 0].set(1)
-    Z = jnp.zeros((Bsz, N_LIMBS), jnp.uint32).at[..., 0].set(1)
-    T = jnp.zeros((Bsz, N_LIMBS), jnp.uint32)
+    # Initialize Q = identity from the table's slot 0 (x=0, y=1, t=0) so the
+    # loop carry inherits the inputs' sharding/varying type under shard_map.
+    X = table_x[:, 0, :]
+    Y = table_y[:, 0, :]
+    Z = table_y[:, 0, :]  # limbs of 1
+    T = table_t[:, 0, :]
 
     def body(i, carry):
         X, Y, Z, T = carry

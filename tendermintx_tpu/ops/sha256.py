@@ -84,7 +84,9 @@ def sha256_blocks(blocks: jnp.ndarray, n_active: jnp.ndarray) -> jnp.ndarray:
     number of blocks actually part of each lane's (padded) message.
     Returns digests (B, 8) uint32."""
     B, n_blocks, _ = blocks.shape
-    state = jnp.broadcast_to(jnp.asarray(_H0), (B, 8))
+    # `+ blocks*0` ties the initial state's sharding type to the inputs so
+    # the fori_loop carry typechecks under shard_map
+    state = jnp.broadcast_to(jnp.asarray(_H0), (B, 8)) + blocks[:, 0, :8] * 0
 
     def body(i, st):
         new = _compress_block(st, blocks[:, i, :])

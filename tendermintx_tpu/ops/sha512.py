@@ -143,8 +143,8 @@ def _compress_block(state_lo, state_hi, blk_lo, blk_hi):
 def sha512_blocks(blk_lo, blk_hi, n_active):
     """blk_*: (B, n_blocks, 16) uint32; n_active: (B,). -> (B,8),(B,8)."""
     B, n_blocks, _ = blk_lo.shape
-    st_lo = jnp.broadcast_to(jnp.asarray(_H0_LO), (B, 8))
-    st_hi = jnp.broadcast_to(jnp.asarray(_H0_HI), (B, 8))
+    st_lo = jnp.broadcast_to(jnp.asarray(_H0_LO), (B, 8)) + blk_lo[:, 0, :8] * 0
+    st_hi = jnp.broadcast_to(jnp.asarray(_H0_HI), (B, 8)) + blk_hi[:, 0, :8] * 0
 
     def body(i, st):
         lo, hi = _compress_block(st[0], st[1], blk_lo[:, i, :], blk_hi[:, i, :])

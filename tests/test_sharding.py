@@ -1,0 +1,56 @@
+"""Sharded pipeline pieces on a virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from tendermintx_tpu.circuits import gadgets as g
+from tendermintx_tpu.inputs.conversion import get_validator_data_from_block
+from tendermintx_tpu.inputs.testchain import TestChain
+from tendermintx_tpu.ops.goldilocks import GF, P
+from tendermintx_tpu.ops import poseidon as ps
+from tendermintx_tpu.parallel.sharding import (
+    make_lane_mesh,
+    sharded_lane_checks,
+    sharded_poseidon_throughput,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "tests need the virtual 8-device mesh"
+    return make_lane_mesh(8)
+
+
+def test_sharded_poseidon_matches_single(mesh):
+    rng = np.random.default_rng(3)
+    states = [[int(rng.integers(0, 2**63)) % P for _ in range(12)] for _ in range(64)]
+    x = GF.from_ints(np.array(states, dtype=object))
+    out_sharded = sharded_poseidon_throughput(mesh)(x)
+    out_single = jax.jit(ps.permute)(x)
+    assert out_sharded.to_ints().tolist() == out_single.to_ints().tolist()
+
+
+def test_sharded_lane_checks_matches_single(mesh):
+    chain = TestChain(n_validators=13, powers=[7 + i for i in range(13)])
+    h = chain.extend(signers=list(range(11)))
+    lanes = get_validator_data_from_block(chain.val_set, chain.commits[h], chain.chain_id, 16)
+    from tendermintx_tpu.circuits.variables import pack_validator_lanes
+
+    lv = pack_validator_lanes(lanes)
+    fn = sharded_lane_checks(mesh)
+    sig_ok, digests, signed_power, total_power = fn(
+        lv.table_x, lv.table_y, lv.table_t, lv.bits2, lv.rx, lv.ry,
+        lv.leaf_bytes, lv.leaf_len, lv.vp_lo, lv.vp_hi, lv.signed, lv.enabled,
+    )
+    assert bool(sig_ok)
+    # digests match the single-device gadget
+    single = g.hash_validator_leaves(lv.leaf_bytes, lv.leaf_len)
+    assert np.array_equal(np.asarray(digests), np.asarray(single))
+    # exact voting sums
+    want_total = sum(v.voting_power for v in chain.val_set)
+    want_signed = sum(chain.val_set[i].voting_power for i in range(11))
+    got_total = int(total_power[0]) | (int(total_power[1]) << 32)
+    got_signed = int(signed_power[0]) | (int(signed_power[1]) << 32)
+    assert got_total == want_total
+    assert got_signed == want_signed
