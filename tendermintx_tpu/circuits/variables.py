@@ -26,12 +26,19 @@ from .consts import (
 
 
 def _register(cls):
-    """Register a dataclass of arrays as a jax pytree."""
+    """Register a dataclass of arrays as a jax pytree (incl. jax.export
+    serialization, so witness pytrees can cross artifact boundaries)."""
     names = [f.name for f in fields(cls)]
     jax.tree_util.register_pytree_node(
         cls,
         lambda obj: ([getattr(obj, n) for n in names], None),
         lambda aux, children: cls(**dict(zip(names, children))),
+    )
+    jax.export.register_pytree_node_serialization(
+        cls,
+        serialized_name=f"tendermintx_tpu.{cls.__name__}",
+        serialize_auxdata=lambda aux: b"",
+        deserialize_auxdata=lambda b: None,
     )
     return cls
 

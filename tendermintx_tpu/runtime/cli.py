@@ -1,0 +1,135 @@
+"""`tendermintx-tpu` CLI: build / prove / operator.
+
+Equivalent of the reference's function entrypoints (bin/step.rs:24,
+bin/skip.rs:25 — plonky2x's `build` / `prove input.json` commands as wired
+in succinct.json:5-15) plus the operator binary (bin/tendermintx.rs).
+
+    tendermintx-tpu build --circuit step --chain mocha-4 \
+        --max-validators 128 --out build/step
+    tendermintx-tpu prove --artifact build/step --input input.json \
+        --out proof.json
+    tendermintx-tpu operator --config operator.json
+
+prove's input.json: {"input": "0x<hex>"} with the abi.encodePacked public
+input bytes (step: uint64 ‖ bytes32; skip: uint64 ‖ bytes32 ‖ uint64);
+output: {"output": "0x<hex>", "valid": true}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def cmd_build(args) -> int:
+    from .artifact import build_artifact
+
+    artifact = build_artifact(args.circuit, args.chain, args.max_validators)
+    artifact.save(args.out)
+    print(f"built {args.circuit} circuit for {args.chain} "
+          f"(max_validators={args.max_validators}) -> {args.out}")
+    return 0
+
+
+def cmd_prove(args) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..circuits.skip import decode_skip_input
+    from ..circuits.step import decode_step_input
+    from ..circuits.variables import pack_skip_witness, pack_step_witness
+    from ..circuits.verify import chain_id_leaf_const
+    from ..inputs.fetcher import InputDataFetcher
+    from .artifact import CircuitArtifact
+
+    with open(args.input) as f:
+        request = json.load(f)
+    input_bytes = bytes.fromhex(request["input"].removeprefix("0x"))
+
+    artifact = CircuitArtifact.load(args.artifact)
+    fetcher = InputDataFetcher(fixture_path=args.fixture_path or "")
+    cid_leaf, cid_len = chain_id_leaf_const(artifact.chain)
+
+    if artifact.circuit == "step":
+        prev_block, prev_hash = decode_step_input(input_bytes)
+        inputs = fetcher.get_step_inputs(
+            prev_block, prev_hash, artifact.max_validators
+        )
+        witness = pack_step_witness(inputs)
+        valid, out = artifact.call(
+            witness,
+            jnp.asarray(np.frombuffer(prev_hash, dtype=np.uint8)),
+            jnp.uint32(prev_block & 0xFFFFFFFF),
+            jnp.uint32(prev_block >> 32),
+            cid_leaf,
+            cid_len,
+        )
+    else:
+        trusted_block, trusted_hash, target_block = decode_skip_input(input_bytes)
+        inputs = fetcher.get_skip_inputs(
+            trusted_block, trusted_hash, target_block, artifact.max_validators
+        )
+        witness = pack_skip_witness(inputs)
+        valid, out = artifact.call(
+            witness,
+            jnp.asarray(np.frombuffer(trusted_hash, dtype=np.uint8)),
+            jnp.uint32(trusted_block & 0xFFFFFFFF),
+            jnp.uint32(trusted_block >> 32),
+            jnp.uint32(target_block & 0xFFFFFFFF),
+            jnp.uint32(target_block >> 32),
+            cid_leaf,
+            cid_len,
+        )
+
+    result = {
+        "output": "0x" + bytes(np.asarray(out)).hex(),
+        "valid": bool(valid),
+    }
+    if not result["valid"]:
+        print("verification FAILED", file=sys.stderr)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"proved: output {result['output']} valid={result['valid']} -> {args.out}")
+    return 0 if result["valid"] else 1
+
+
+def cmd_operator(args) -> int:
+    from .operator import OperatorConfig, TendermintXOperator
+
+    with open(args.config) as f:
+        cfg = OperatorConfig.from_dict(json.load(f))
+    op = TendermintXOperator(cfg)
+    op.run(max_iterations=args.iterations)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tendermintx-tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    b = sub.add_parser("build", help="compile + serialize a circuit artifact")
+    b.add_argument("--circuit", choices=["step", "skip"], required=True)
+    b.add_argument("--chain", default="celestia")
+    b.add_argument("--max-validators", type=int, default=128)
+    b.add_argument("--out", required=True)
+    b.set_defaults(fn=cmd_build)
+
+    pr = sub.add_parser("prove", help="run a proof request against an artifact")
+    pr.add_argument("--artifact", required=True)
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--out", default="proof.json")
+    pr.add_argument("--fixture-path", default=None)
+    pr.set_defaults(fn=cmd_prove)
+
+    op = sub.add_parser("operator", help="run the light-client operator loop")
+    op.add_argument("--config", required=True)
+    op.add_argument("--iterations", type=int, default=None)
+    op.set_defaults(fn=cmd_operator)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
