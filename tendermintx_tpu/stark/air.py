@@ -74,19 +74,32 @@ class DeviceAlgebra:
 @dataclass
 class Frame:
     """One evaluation frame: values of every trace column on the current row
-    and the next row, plus public inputs (already lifted to the algebra)."""
+    and the next row, public inputs, and periodic-column values (all already
+    lifted to the algebra)."""
 
     local: list
     next: list
     public: list
+    periodic: list
 
 
 class Air:
-    """Subclass and override. `n_cols`/`constraint_degree` are class attrs."""
+    """Subclass and override. `n_cols`/`constraint_degree` are class attrs.
+
+    `periodic_columns()` returns fixed repeating patterns (each a list of
+    ints whose length is a power of two dividing the trace length): round
+    constants, round-type selectors, etc. They are not committed — both
+    prover and verifier evaluate them directly (the verifier at the OOD
+    point via the pattern's interpolant). Equivalent role to plonky2's
+    constant/preprocessed polynomials (SURVEY.md N4).
+    """
 
     n_cols: int = 0
     n_public: int = 0
     constraint_degree: int = 3  # max total degree of any constraint
+
+    def periodic_columns(self) -> list[list[int]]:
+        return []
 
     def eval_transition(self, frame: Frame, alg) -> list:
         return []
@@ -105,6 +118,7 @@ class Air:
             local=[zero] * self.n_cols,
             next=[zero] * self.n_cols,
             public=[zero] * self.n_public,
+            periodic=[zero] * len(self.periodic_columns()),
         )
         alg = HostAlgebra()
         return (

@@ -94,6 +94,39 @@ def _batch_inverse(vals: list[int]) -> list[int]:
     return out
 
 
+def periodic_interpolant(pattern: tuple[int, ...]) -> list[int]:
+    """Coefficients of the degree-<p interpolant r of a period-p pattern on
+    the size-p subgroup (host iNTT)."""
+    from .fri import _intt_ints
+
+    return _intt_ints([v % P for v in pattern])
+
+
+@lru_cache(maxsize=None)
+def _periodic_lde(pattern: tuple[int, ...], log_n: int, rate_bits: int, shift: int):
+    """Evaluations of r(x^(n/p)) over the LDE domain, as numpy limb pairs.
+
+    x^(n/p) over the coset shift*<w_N> cycles with period p * 2^rate_bits,
+    so only that many evaluations are computed, then tiled."""
+    p = len(pattern)
+    assert p & (p - 1) == 0, "periodic pattern length must be a power of two"
+    n = 1 << log_n
+    assert n % p == 0
+    coeffs = periodic_interpolant(pattern)
+    N = n << rate_bits
+    cycle = p << rate_bits
+    s_pow = pow(shift, n // p, P)
+    # w_N^(n/p) has order p * 2^rate_bits
+    w_cycle = pow(nttmod.primitive_root_of_unity(log_n + rate_bits), n // p, P)
+    vals = []
+    acc = s_pow
+    for _ in range(cycle):
+        vals.append(nttmod.eval_poly_ints(coeffs, acc))
+        acc = acc * w_cycle % P
+    full = [vals[i % cycle] for i in range(N)]
+    return from_int_array(np.array(full, dtype=object))
+
+
 @lru_cache(maxsize=None)
 def _zerofier_inverses(log_n: int, rate_bits: int, shift: int):
     """Returns numpy limb pairs of per-point zerofier-inverse evals on the LDE
@@ -211,7 +244,11 @@ def prove(
     ]
     alg = DeviceAlgebra(N)
     pub = [alg.const(v) for v in public_inputs]
-    frame = Frame(local=local, next=nxt, public=pub)
+    periodic = [
+        _np_gf(_periodic_lde(tuple(p), log_n, rate_bits, shift))
+        for p in air.periodic_columns()
+    ]
+    frame = Frame(local=local, next=nxt, public=pub, periodic=periodic)
     groups = [
         ("first", air.eval_first(frame, alg)),
         ("transition", air.eval_transition(frame, alg)),

@@ -53,10 +53,26 @@ def verify(air: Air, proof: StarkProof, config: StarkConfig = StarkConfig()) -> 
     g_last = pow(g_trace, n - 1, P)
 
     # --- OOD composition identity ---
+    # periodic columns: evaluate each pattern's interpolant at z^(n/p)
+    from .prover import periodic_interpolant
+
+    periodic_at_z = []
+    for pattern in air.periodic_columns():
+        p_len = len(pattern)
+        if p_len == 0 or p_len & (p_len - 1) or n % p_len:
+            return False
+        coeffs = periodic_interpolant(tuple(pattern))
+        z_pow = ext_pow(z, n // p_len)
+        acc = (0, 0)
+        for c in reversed(coeffs):
+            acc = ext_add(ext_mul(acc, z_pow), (c % P, 0))
+        periodic_at_z.append(HostFelt(acc))
+
     frame = Frame(
         local=[HostFelt(tuple(v)) for v in proof.ood_trace_local],
         next=[HostFelt(tuple(v)) for v in proof.ood_trace_next],
         public=[HostFelt((v % P, 0)) for v in proof.public_inputs],
+        periodic=periodic_at_z,
     )
     alg = HostAlgebra()
     z_pow_n = ext_pow(z, n)
