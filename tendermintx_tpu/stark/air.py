@@ -73,14 +73,26 @@ class DeviceAlgebra:
 
 @dataclass
 class Frame:
-    """One evaluation frame: values of every trace column on the current row
-    and the next row, public inputs, and periodic-column values (all already
-    lifted to the algebra)."""
+    """One evaluation frame: trace column values at each declared row offset
+    (`rows[k][i]` = column i at offset `air.frame_offsets[k]`), public
+    inputs, and periodic-column values — all lifted to the algebra.
 
-    local: list
-    next: list
+    `local` / `next` alias offsets 0 and 1 for the common 2-row case."""
+
+    rows: list
     public: list
     periodic: list
+
+    @property
+    def local(self):
+        return self.rows[0]
+
+    @property
+    def next(self):
+        return self.rows[1]
+
+    def at_offset(self, offset: int, air: "Air"):
+        return self.rows[air.frame_offsets.index(offset)]
 
 
 class Air:
@@ -97,11 +109,22 @@ class Air:
     n_cols: int = 0
     n_public: int = 0
     constraint_degree: int = 3  # max total degree of any constraint
+    # Row offsets the constraints may reference. Offsets beyond {0, 1} make
+    # the prover open the trace at z * g^k for each offset k (multi-row
+    # frames, e.g. the SHA-256 message schedule's 16-row window).
+    frame_offsets: list[int] = [0, 1]
 
     def periodic_columns(self) -> list[list[int]]:
         return []
 
     def eval_transition(self, frame: Frame, alg) -> list:
+        """Vanish on every row except the last (classic 2-row step)."""
+        return []
+
+    def eval_cyclic(self, frame: Frame, alg) -> list:
+        """Vanish on EVERY row, with row references wrapping cyclically.
+        Constraints here must be gated by periodic selectors wherever the
+        wrapped reference would be meaningless."""
         return []
 
     def eval_first(self, frame: Frame, alg) -> list:
@@ -115,8 +138,7 @@ class Air:
         # Evaluate symbolically on host with zeros to count constraints.
         zero = HostFelt((0, 0))
         frame = Frame(
-            local=[zero] * self.n_cols,
-            next=[zero] * self.n_cols,
+            rows=[[zero] * self.n_cols for _ in self.frame_offsets],
             public=[zero] * self.n_public,
             periodic=[zero] * len(self.periodic_columns()),
         )
@@ -124,5 +146,6 @@ class Air:
         return (
             len(self.eval_first(frame, alg))
             + len(self.eval_transition(frame, alg))
+            + len(self.eval_cyclic(frame, alg))
             + len(self.eval_last(frame, alg))
         )

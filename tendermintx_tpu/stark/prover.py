@@ -55,8 +55,8 @@ class StarkProof:
     public_inputs: list[int]
     trace_root: list[int]
     quotient_root: list[int]
-    ood_trace_local: list[tuple[int, int]]
-    ood_trace_next: list[tuple[int, int]]
+    # ood_trace[k][i]: column i evaluated at z * g^frame_offsets[k]
+    ood_trace: list[list[tuple[int, int]]]
     ood_quotient: list[tuple[int, int]]
     fri_proof: FriProof
     # index -> (trace_row, trace_path, quot_row, quot_path)
@@ -130,7 +130,7 @@ def _periodic_lde(pattern: tuple[int, ...], log_n: int, rate_bits: int, shift: i
 @lru_cache(maxsize=None)
 def _zerofier_inverses(log_n: int, rate_bits: int, shift: int):
     """Returns numpy limb pairs of per-point zerofier-inverse evals on the LDE
-    domain: (transition, first, last)."""
+    domain: (transition, first, last, cyclic)."""
     n = 1 << log_n
     log_N = log_n + rate_bits
     N = 1 << log_N
@@ -148,7 +148,7 @@ def _zerofier_inverses(log_n: int, rate_bits: int, shift: int):
     last = _batch_inverse([(pts[i] - g_last) % P for i in range(N)])
 
     to_np = lambda v: from_int_array(np.array(v, dtype=object))
-    return to_np(trans), to_np(first), to_np(last)
+    return to_np(trans), to_np(first), to_np(last), to_np(zh_inv_full)
 
 
 def _np_gf(pair) -> GF:
@@ -237,10 +237,19 @@ def prove(
     alpha = challenger.sample_ext()
 
     # 2. Constraint evaluation on the LDE domain.
-    local = [trace_lde[i] for i in range(n_cols)]
-    nxt = [
-        GF(jnp.roll(trace_lde.lo[i], -blowup), jnp.roll(trace_lde.hi[i], -blowup))
-        for i in range(n_cols)
+    offsets = list(air.frame_offsets)
+    assert offsets[0] == 0, "frame_offsets must start with 0"
+    rows = [
+        [
+            GF(
+                jnp.roll(trace_lde.lo[i], -k * blowup),
+                jnp.roll(trace_lde.hi[i], -k * blowup),
+            )
+            for i in range(n_cols)
+        ]
+        if k
+        else [trace_lde[i] for i in range(n_cols)]
+        for k in offsets
     ]
     alg = DeviceAlgebra(N)
     pub = [alg.const(v) for v in public_inputs]
@@ -248,15 +257,21 @@ def prove(
         _np_gf(_periodic_lde(tuple(p), log_n, rate_bits, shift))
         for p in air.periodic_columns()
     ]
-    frame = Frame(local=local, next=nxt, public=pub, periodic=periodic)
+    frame = Frame(rows=rows, public=pub, periodic=periodic)
     groups = [
         ("first", air.eval_first(frame, alg)),
         ("transition", air.eval_transition(frame, alg)),
+        ("cyclic", air.eval_cyclic(frame, alg)),
         ("last", air.eval_last(frame, alg)),
     ]
 
-    tz, fz, lz = _zerofier_inverses(log_n, rate_bits, shift)
-    zinv = {"transition": _np_gf(tz), "first": _np_gf(fz), "last": _np_gf(lz)}
+    tz, fz, lz, cz = _zerofier_inverses(log_n, rate_bits, shift)
+    zinv = {
+        "transition": _np_gf(tz),
+        "first": _np_gf(fz),
+        "last": _np_gf(lz),
+        "cyclic": _np_gf(cz),
+    }
 
     # Q(x) = sum_k alpha^k C_k(x) * Zinv_k(x)  (ext values over the domain)
     q_evals = GF2.zeros((N,))
@@ -289,46 +304,50 @@ def prove(
     challenger.observe_digest(quot_tree.root)
     z = challenger.sample_ext()
 
-    # 4. OOD evaluations (host Horner over coefficient vectors).
+    # 4. OOD evaluations at z * g^k for every frame offset k (host Horner).
     g_trace = nttmod.primitive_root_of_unity(log_n)
-    zw = ext_mul(z, (g_trace, 0))
     trace_coeff_ints = trace_coeffs.to_ints()  # (n_cols, n)
-    ood_local = [_eval_base_poly_ext(trace_coeff_ints[i].tolist(), z) for i in range(n_cols)]
-    ood_next = [_eval_base_poly_ext(trace_coeff_ints[i].tolist(), zw) for i in range(n_cols)]
+    ood_trace = []  # per offset: per column
+    for k in offsets:
+        zk = ext_mul(z, (pow(g_trace, k, P), 0))
+        ood_trace.append(
+            [_eval_base_poly_ext(trace_coeff_ints[i].tolist(), zk) for i in range(n_cols)]
+        )
     ood_quot = []
     for ch in chunk_coeffs:
         cc0, cc1 = ch.to_ints()
         ood_quot.append(_eval_ext_poly_ext(list(zip(cc0.tolist(), cc1.tolist())), z))
-    for v in ood_local + ood_next + ood_quot:
+    for per_offset in ood_trace:
+        for v in per_offset:
+            challenger.observe_ext(v)
+    for v in ood_quot:
         challenger.observe_ext(v)
     beta = challenger.sample_ext()
 
-    # 5. DEEP composition over the LDE domain.
-    #    A(x) = sum_i beta^i T_i(x) + sum_j beta^(c+2j..) chunks (both parts)
-    #    F(x) = (A(x) - A(z-vals))/(x - z) + (B(x) - B(zw-vals))/(x - zw)
-    b_pow = (1, 0)
-    A = GF2.zeros((N,))
-    A0 = (0, 0)
-    for i in range(n_cols):
-        A = A + _ext_scale_base(b_pow, trace_lde[i])
-        A0 = ext_add(A0, ext_mul(b_pow, ood_local[i]))
-        b_pow = ext_mul(b_pow, beta)
-    for j, ch in enumerate(chunk_ldes):
-        A = A + ch * _broadcast_ext(b_pow, N)
-        A0 = ext_add(A0, ext_mul(b_pow, ood_quot[j]))
-        b_pow = ext_mul(b_pow, beta)
-    B = GF2.zeros((N,))
-    B0 = (0, 0)
-    for i in range(n_cols):
-        B = B + _ext_scale_base(b_pow, trace_lde[i])
-        B0 = ext_add(B0, ext_mul(b_pow, ood_next[i]))
-        b_pow = ext_mul(b_pow, beta)
-
+    # 5. DEEP composition over the LDE domain: one group per opening point.
+    #    Group 0 (at z): trace cols + quotient chunks. Group k>0 (at z*g^k):
+    #    trace cols. F = sum_g (G(x) - G(z_g)) / (x - z_g).
     pts = _domain_points(log_n + rate_bits, shift)
-    inv_xz_gf2 = _ext_list_to_gf2(_batch_ext_inv([ext_sub((x, 0), z) for x in pts]))
-    inv_xzw_gf2 = _ext_list_to_gf2(_batch_ext_inv([ext_sub((x, 0), zw) for x in pts]))
-
-    F = _deep_fn(A, _ext_scalar(A0), inv_xz_gf2, B, _ext_scalar(B0), inv_xzw_gf2)
+    b_pow = (1, 0)
+    F = None
+    for gi, k in enumerate(offsets):
+        zk = ext_mul(z, (pow(g_trace, k, P), 0))
+        G = GF2.zeros((N,))
+        G0 = (0, 0)
+        for i in range(n_cols):
+            G = G + _ext_scale_base(b_pow, trace_lde[i])
+            G0 = ext_add(G0, ext_mul(b_pow, ood_trace[gi][i]))
+            b_pow = ext_mul(b_pow, beta)
+        if gi == 0:
+            for j, ch in enumerate(chunk_ldes):
+                G = G + ch * _broadcast_ext(b_pow, N)
+                G0 = ext_add(G0, ext_mul(b_pow, ood_quot[j]))
+                b_pow = ext_mul(b_pow, beta)
+        inv_xz = _ext_list_to_gf2(
+            _batch_ext_inv([ext_sub((x, 0), zk) for x in pts])
+        )
+        term = _deep_term(G, _ext_scalar(G0), inv_xz)
+        F = term if F is None else F + term
 
     # 6. FRI low-degree proof (degree bound n on domain N).
     fri_proof = fri_prove(F, challenger, config.fri, shift)
@@ -351,8 +370,7 @@ def prove(
         public_inputs=list(public_inputs),
         trace_root=trace_tree.root,
         quotient_root=quot_tree.root,
-        ood_trace_local=ood_local,
-        ood_trace_next=ood_next,
+        ood_trace=ood_trace,
         ood_quotient=ood_quot,
         fri_proof=fri_proof,
         openings=openings,
@@ -371,11 +389,10 @@ def _batch_ext_inv(vals: list[tuple[int, int]]) -> list[tuple[int, int]]:
 
 
 @jax.jit
-def _deep_fn(A: GF2, A0: GF2, inv_xz: GF2, B: GF2, B0: GF2, inv_xzw: GF2) -> GF2:
-    N = A.shape[0]
-    a0 = GF2(A0.c0.broadcast_to((N,)), A0.c1.broadcast_to((N,)))
-    b0 = GF2(B0.c0.broadcast_to((N,)), B0.c1.broadcast_to((N,)))
-    return (A - a0) * inv_xz + (B - b0) * inv_xzw
+def _deep_term(G: GF2, G0: GF2, inv_xz: GF2) -> GF2:
+    N = G.shape[0]
+    g0 = GF2(G0.c0.broadcast_to((N,)), G0.c1.broadcast_to((N,)))
+    return (G - g0) * inv_xz
 
 
 def _broadcast_ext(v: tuple[int, int], n: int) -> GF2:

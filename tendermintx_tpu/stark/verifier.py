@@ -27,8 +27,11 @@ def verify(air: Air, proof: StarkProof, config: StarkConfig = StarkConfig()) -> 
     shift = config.shift
     n_cols = air.n_cols
     n_chunks = air.constraint_degree - 1
+    offsets = list(air.frame_offsets)
 
-    if len(proof.ood_trace_local) != n_cols or len(proof.ood_trace_next) != n_cols:
+    if len(proof.ood_trace) != len(offsets):
+        return False
+    if any(len(per) != n_cols for per in proof.ood_trace):
         return False
     if len(proof.ood_quotient) != n_chunks:
         return False
@@ -42,14 +45,14 @@ def verify(air: Air, proof: StarkProof, config: StarkConfig = StarkConfig()) -> 
     alpha = challenger.sample_ext()
     challenger.observe_digest(proof.quotient_root)
     z = challenger.sample_ext()
-    for v in list(proof.ood_trace_local) + list(proof.ood_trace_next) + list(
-        proof.ood_quotient
-    ):
+    for per_offset in proof.ood_trace:
+        for v in per_offset:
+            challenger.observe_ext(tuple(v))
+    for v in proof.ood_quotient:
         challenger.observe_ext(tuple(v))
     beta = challenger.sample_ext()
 
     g_trace = nttmod.primitive_root_of_unity(log_n)
-    zw = ext_mul(z, (g_trace, 0))
     g_last = pow(g_trace, n - 1, P)
 
     # --- OOD composition identity ---
@@ -69,21 +72,22 @@ def verify(air: Air, proof: StarkProof, config: StarkConfig = StarkConfig()) -> 
         periodic_at_z.append(HostFelt(acc))
 
     frame = Frame(
-        local=[HostFelt(tuple(v)) for v in proof.ood_trace_local],
-        next=[HostFelt(tuple(v)) for v in proof.ood_trace_next],
+        rows=[[HostFelt(tuple(v)) for v in per] for per in proof.ood_trace],
         public=[HostFelt((v % P, 0)) for v in proof.public_inputs],
         periodic=periodic_at_z,
     )
     alg = HostAlgebra()
     z_pow_n = ext_pow(z, n)
     zh = ext_sub(z_pow_n, (1, 0))  # z^n - 1
-    zinv_transition = ext_mul(ext_sub(z, (g_last, 0)), ext_inv(zh))
+    zh_inv = ext_inv(zh)
+    zinv_transition = ext_mul(ext_sub(z, (g_last, 0)), zh_inv)
     zinv_first = ext_inv(ext_sub(z, (1, 0)))
     zinv_last = ext_inv(ext_sub(z, (g_last, 0)))
 
     groups = [
         ("first", air.eval_first(frame, alg), zinv_first),
         ("transition", air.eval_transition(frame, alg), zinv_transition),
+        ("cyclic", air.eval_cyclic(frame, alg), zh_inv),
         ("last", air.eval_last(frame, alg), zinv_last),
     ]
     lhs = (0, 0)
@@ -101,26 +105,24 @@ def verify(air: Air, proof: StarkProof, config: StarkConfig = StarkConfig()) -> 
         return False
 
     # --- DEEP layer-0 recomputation hook for FRI ---
-    # beta powers in prover order: trace locals, chunks (A-part), then trace
-    # nexts (B-part).
-    betas_A = []
+    # beta powers in prover order: per offset group (trace cols; plus
+    # quotient chunks inside group 0).
+    group_info = []  # (z_k, [(beta_pow, kind, index)])
     b_pow = (1, 0)
-    A0 = (0, 0)
-    for i in range(n_cols):
-        betas_A.append(b_pow)
-        A0 = ext_add(A0, ext_mul(b_pow, tuple(proof.ood_trace_local[i])))
-        b_pow = ext_mul(b_pow, beta)
-    betas_Q = []
-    for j in range(n_chunks):
-        betas_Q.append(b_pow)
-        A0 = ext_add(A0, ext_mul(b_pow, tuple(proof.ood_quotient[j])))
-        b_pow = ext_mul(b_pow, beta)
-    betas_B = []
-    B0 = (0, 0)
-    for i in range(n_cols):
-        betas_B.append(b_pow)
-        B0 = ext_add(B0, ext_mul(b_pow, tuple(proof.ood_trace_next[i])))
-        b_pow = ext_mul(b_pow, beta)
+    for gi, k in enumerate(offsets):
+        zk = ext_mul(z, (pow(g_trace, k, P), 0))
+        terms = []
+        G0 = (0, 0)
+        for i in range(n_cols):
+            terms.append((b_pow, "trace", i))
+            G0 = ext_add(G0, ext_mul(b_pow, tuple(proof.ood_trace[gi][i])))
+            b_pow = ext_mul(b_pow, beta)
+        if gi == 0:
+            for j in range(n_chunks):
+                terms.append((b_pow, "quot", j))
+                G0 = ext_add(G0, ext_mul(b_pow, tuple(proof.ood_quotient[j])))
+                b_pow = ext_mul(b_pow, beta)
+        group_info.append((zk, terms, G0))
 
     w_N = nttmod.primitive_root_of_unity(log_n + rate_bits)
 
@@ -136,18 +138,18 @@ def verify(air: Air, proof: StarkProof, config: StarkConfig = StarkConfig()) -> 
         if not verify_opening(proof.quotient_root, idx, list(quot_row), quot_path):
             return False
         x = shift * pow(w_N, idx, P) % P
-        A = (0, 0)
-        for i in range(n_cols):
-            A = ext_add(A, ext_mul(betas_A[i], (trace_row[i] % P, 0)))
-        for j in range(n_chunks):
-            chunk_val = (quot_row[2 * j] % P, quot_row[2 * j + 1] % P)
-            A = ext_add(A, ext_mul(betas_Q[j], chunk_val))
-        B = (0, 0)
-        for i in range(n_cols):
-            B = ext_add(B, ext_mul(betas_B[i], (trace_row[i] % P, 0)))
-        t1 = ext_mul(ext_sub(A, A0), ext_inv(ext_sub((x, 0), z)))
-        t2 = ext_mul(ext_sub(B, B0), ext_inv(ext_sub((x, 0), zw)))
-        return ext_add(t1, t2) == tuple(val)
+        total = (0, 0)
+        for zk, terms, G0 in group_info:
+            G = (0, 0)
+            for b, kind, i in terms:
+                if kind == "trace":
+                    v = (trace_row[i] % P, 0)
+                else:
+                    v = (quot_row[2 * i] % P, quot_row[2 * i + 1] % P)
+                G = ext_add(G, ext_mul(b, v))
+            term = ext_mul(ext_sub(G, G0), ext_inv(ext_sub((x, 0), zk)))
+            total = ext_add(total, term)
+        return total == tuple(val)
 
     return fri_verify(
         proof.fri_proof,

@@ -77,7 +77,7 @@ def test_tampered_ood_rejected():
     air = FibonacciAir()
     proof = prove(air, trace, [1, 1, b_final], CFG)
     bad = copy.deepcopy(proof)
-    bad.ood_trace_local[0] = ((bad.ood_trace_local[0][0] + 1) % P, bad.ood_trace_local[0][1])
+    bad.ood_trace[0][0] = ((bad.ood_trace[0][0][0] + 1) % P, bad.ood_trace[0][0][1])
     assert not verify(air, bad, CFG)
 
 
