@@ -212,6 +212,12 @@ def mul_u32(a_lo, a_hi, c: int):
     return reduce128(r0, r1, r2, _u32(jnp.zeros_like(r2)))
 
 
+def mul_pow32(a_lo, a_hi):
+    """Multiply by 2**32 (limb shift + reduction): much cheaper than mul."""
+    zero = jnp.zeros_like(a_lo)
+    return reduce128(zero, a_lo, a_hi, zero)
+
+
 def pow_const(a_lo, a_hi, e: int):
     """Raise to a fixed Python-int power.
 
@@ -362,6 +368,23 @@ class GF:
     def mul_small(self, c: int):
         return GF(*mul_u32(self.lo, self.hi, c))
 
+    def cmul(self, c: int):
+        """Multiply by a compile-time constant, using the cheapest path
+        (keeps XLA graphs small — constraint systems are mostly constant
+        multiplications)."""
+        c = c % P
+        if c == 0:
+            return GF.zeros(self.shape)
+        if c == 1:
+            return self
+        if c < 1 << 32:
+            return self.mul_small(c)
+        if c == 1 << 32:
+            return GF(*mul_pow32(self.lo, self.hi))
+        c_lo = jnp.full_like(self.lo, np.uint32(c & 0xFFFFFFFF))
+        c_hi = jnp.full_like(self.hi, np.uint32(c >> 32))
+        return GF(*mul(self.lo, self.hi, c_lo, c_hi))
+
     def equal(self, other):
         return (self.lo == other.lo) & (self.hi == other.hi)
 
@@ -397,26 +420,27 @@ class GF:
         return cls(jnp.where(cond, a.lo, b.lo), jnp.where(cond, a.hi, b.hi))
 
     def sum(self, axis=None):
-        """Tree-reduction field sum along an axis (log-depth, overflow-safe)."""
+        """Field sum along an axis via fori_loop accumulation.
+
+        Deliberately NOT a slicing halving-tree: XLA fuses slices of deep
+        producer expressions by duplicating the producer per slice, which
+        makes compile time explode (hours) for sums over constraint
+        expressions. The loop materializes the operand once and runs n-1
+        sequential adds — negligible at our reduction widths (<= ~128)."""
         if axis is None:
             flat = self.reshape(-1)
             return flat.sum(axis=0)
         lo = jnp.moveaxis(self.lo, axis, 0)
         hi = jnp.moveaxis(self.hi, axis, 0)
         n = lo.shape[0]
-        while n > 1:
-            half = n // 2
-            a_lo, a_hi = lo[:half], hi[:half]
-            b_lo, b_hi = lo[half : 2 * half], hi[half : 2 * half]
-            s_lo, s_hi = add(a_lo, a_hi, b_lo, b_hi)
-            if n % 2:
-                lo = jnp.concatenate([s_lo, lo[2 * half :]], axis=0)
-                hi = jnp.concatenate([s_hi, hi[2 * half :]], axis=0)
-                n = half + 1
-            else:
-                lo, hi = s_lo, s_hi
-                n = half
-        return GF(lo[0], hi[0])
+        if n == 1:
+            return GF(lo[0], hi[0])
+
+        def body(i, acc):
+            return add(acc[0], acc[1], lo[i], hi[i])
+
+        out_lo, out_hi = jax.lax.fori_loop(1, n, body, (lo[0], hi[0]))
+        return GF(out_lo, out_hi)
 
     def __repr__(self):
         return f"GF(shape={self.shape})"

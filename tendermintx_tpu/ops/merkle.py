@@ -71,7 +71,18 @@ class MerkleTree:
 def verify_opening(
     root: list[int], index: int, leaf_row: list[int], path: list[list[int]]
 ) -> bool:
-    """Host-side verification: leaf_row is the raw row (pre-hash)."""
+    """Host-side verification: leaf_row is the raw row (pre-hash).
+    Uses the native C++ core when available."""
+    import os
+
+    if os.environ.get("TMX_NO_NATIVE") != "1":
+        from ..utils import native
+
+        out = native.merkle_verify_native(
+            list(root), index, list(leaf_row), path
+        )
+        if out is not None:
+            return out
     digest = ps.hash_ints(list(leaf_row))
     idx = index
     for sibling in path:

@@ -93,8 +93,25 @@ def _mds_int(state: list[int]) -> list[int]:
 
 
 def permute_ints(state: list[int]) -> list[int]:
-    """Sequential Poseidon permutation on WIDTH Python ints."""
+    """Sequential Poseidon permutation on WIDTH Python ints (native C++ core
+    when available, pure Python otherwise)."""
     assert len(state) == WIDTH
+    if _use_native():
+        from ..utils import native
+
+        out = native.permute_ints_native([x % P for x in state])
+        if out is not None:
+            return out
+    return _permute_ints_py(state)
+
+
+def _use_native() -> bool:
+    import os
+
+    return os.environ.get("TMX_NO_NATIVE") != "1"
+
+
+def _permute_ints_py(state: list[int]) -> list[int]:
     s = [x % P for x in state]
     rc = round_constants()
     half = FULL_ROUNDS // 2
@@ -120,6 +137,12 @@ def permute_ints(state: list[int]) -> list[int]:
 def hash_ints(inputs: list[int]) -> list[int]:
     """Sponge hash (overwrite mode, no padding — fixed-length use only) of an
     arbitrary number of field elements to a DIGEST-element output."""
+    if _use_native():
+        from ..utils import native
+
+        out = native.hash_ints_native([v % P for v in inputs])
+        if out is not None:
+            return out
     state = [0] * WIDTH
     for i in range(0, len(inputs), RATE):
         chunk = inputs[i : i + RATE]
@@ -130,6 +153,12 @@ def hash_ints(inputs: list[int]) -> list[int]:
 
 
 def two_to_one_ints(left: list[int], right: list[int]) -> list[int]:
+    if _use_native():
+        from ..utils import native
+
+        out = native.two_to_one_native(list(left), list(right))
+        if out is not None:
+            return out
     state = list(left) + list(right) + [0] * (WIDTH - 2 * DIGEST)
     return permute_ints(state)[:DIGEST]
 

@@ -47,12 +47,95 @@ class HostFelt:
         return HostFelt((-self.v[0] % P, -self.v[1] % P))
 
 
+class HostVec:
+    """Vector of HostFelts with elementwise operators (host evaluation of
+    vectorized constraint helpers)."""
+
+    __slots__ = ("items",)
+
+    def __init__(self, items):
+        self.items = list(items)
+
+    def _zip(self, o, op):
+        if isinstance(o, HostVec):
+            return HostVec([op(a, b) for a, b in zip(self.items, o.items)])
+        return HostVec([op(a, o) for a in self.items])
+
+    def __add__(self, o):
+        return self._zip(o, lambda a, b: a + b)
+
+    def __sub__(self, o):
+        return self._zip(o, lambda a, b: a - b)
+
+    def __mul__(self, o):
+        return self._zip(o, lambda a, b: a * b)
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return HostVec(self.items[i])
+        return self.items[i]
+
+
 class HostAlgebra:
     felt = HostFelt
 
     @staticmethod
     def const(c: int):
         return HostFelt((c % P, 0))
+
+    @staticmethod
+    def cmul(c: int, x):
+        return HostFelt(ext_mul((c % P, 0), x.v))
+
+    # -- vector helpers (k-lane stacks of felts) --
+
+    @staticmethod
+    def stack(felts):
+        return HostVec(felts)
+
+    @staticmethod
+    def rot(vec, r: int):
+        k = len(vec)
+        return HostVec([vec[(i + r) % k] for i in range(k)])
+
+    @staticmethod
+    def shift_down(vec, r: int):
+        k = len(vec)
+        zero = HostFelt((0, 0))
+        return HostVec([vec[i + r] if i + r < k else zero for i in range(k)])
+
+    @staticmethod
+    def weighted_sum(vec, weights):
+        acc = HostFelt((0, 0))
+        for w, x in zip(weights, vec.items):
+            acc = acc + HostAlgebra.cmul(w, x)
+        return acc
+
+    @staticmethod
+    def vcmul(c: int, vec):
+        return HostVec([HostAlgebra.cmul(c, x) for x in vec.items])
+
+    @staticmethod
+    def unstack(vec):
+        return list(vec.items)
+
+    @staticmethod
+    def vconst_bits(bits):
+        return HostVec([HostFelt((int(b) % P, 0)) for b in bits])
+
+    @staticmethod
+    def col_range(frame, offset_index: int, start: int, count: int):
+        return HostVec(frame.rows[offset_index][start : start + count])
+
+    @staticmethod
+    def vconcat(vecs):
+        items = []
+        for v in vecs:
+            items.extend(v.items)
+        return HostVec(items)
 
 
 class DeviceAlgebra:
@@ -65,10 +148,88 @@ class DeviceAlgebra:
         import jax.numpy as jnp
         import numpy as np
 
+        c = c % P
         return GF(
             jnp.full((self.n_rows,), np.uint32(c & 0xFFFFFFFF), jnp.uint32),
-            jnp.full((self.n_rows,), np.uint32((c % P) >> 32), jnp.uint32),
+            jnp.full((self.n_rows,), np.uint32(c >> 32), jnp.uint32),
         )
+
+    @staticmethod
+    def cmul(c: int, x: GF):
+        return x.cmul(c)
+
+    # -- vector helpers: stacks become leading array axes, so 32-bit-wide
+    # bit operations are single array ops instead of 32 scalar graphs --
+
+    @staticmethod
+    def stack(felts):
+        return GF.stack(felts, axis=0)  # (k, N)
+
+    @staticmethod
+    def rot(vec: GF, r: int):
+        import jax.numpy as jnp
+
+        return GF(jnp.roll(vec.lo, -r, axis=0), jnp.roll(vec.hi, -r, axis=0))
+
+    @staticmethod
+    def shift_down(vec: GF, r: int):
+        import jax.numpy as jnp
+
+        if r == 0:
+            return vec
+        pad_lo = jnp.zeros((r,) + vec.lo.shape[1:], vec.lo.dtype)
+        return GF(
+            jnp.concatenate([vec.lo[r:], pad_lo], axis=0),
+            jnp.concatenate([vec.hi[r:], pad_lo], axis=0),
+        )
+
+    @staticmethod
+    def weighted_sum(vec: GF, weights):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..ops.goldilocks import mul
+
+        w = np.array([int(x) % P for x in weights], dtype=object)
+        w_lo = jnp.asarray(
+            np.array([v & 0xFFFFFFFF for v in w], dtype=np.uint32)
+        ).reshape((-1,) + (1,) * (vec.lo.ndim - 1))
+        w_hi = jnp.asarray(
+            np.array([v >> 32 for v in w], dtype=np.uint32)
+        ).reshape((-1,) + (1,) * (vec.lo.ndim - 1))
+        prod = GF(*mul(vec.lo, vec.hi, w_lo, w_hi))
+        return prod.sum(axis=0)
+
+    @staticmethod
+    def vcmul(c: int, vec: GF):
+        return vec.cmul(c)
+
+    @staticmethod
+    def unstack(vec: GF):
+        return [GF(vec.lo[i], vec.hi[i]) for i in range(vec.lo.shape[0])]
+
+    @staticmethod
+    def vconst_bits(bits):
+        """Constant bit-vector as a (k, 1) broadcastable array (one constant
+        instead of k full-width materializations)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        arr = np.array([int(b) & 0xFFFFFFFF for b in bits], dtype=np.uint32)
+        lo = jnp.asarray(arr)[:, None]
+        return GF(lo, jnp.zeros_like(lo))
+
+    @staticmethod
+    def col_range(frame, offset_index: int, start: int, count: int):
+        rs = frame.rows_stacked
+        return GF(
+            rs.lo[offset_index, start : start + count],
+            rs.hi[offset_index, start : start + count],
+        )
+
+    @staticmethod
+    def vconcat(vecs):
+        return GF.concatenate(vecs, axis=0)
 
 
 @dataclass
@@ -82,6 +243,13 @@ class Frame:
     rows: list
     public: list
     periodic: list
+    # offset-0 values of public columns (verifier-reconstructible full-length
+    # columns derived from the public inputs; not committed)
+    public_cols: list = None
+    # device only: pre-stacked (n_offsets, n_cols, N) trace values, so AIRs
+    # can take contiguous column ranges with one slice instead of stacking
+    # felts bit by bit
+    rows_stacked: object = None
 
     @property
     def local(self):
@@ -108,6 +276,7 @@ class Air:
 
     n_cols: int = 0
     n_public: int = 0
+    n_public_cols: int = 0  # number of columns public_columns() returns
     constraint_degree: int = 3  # max total degree of any constraint
     # Row offsets the constraints may reference. Offsets beyond {0, 1} make
     # the prover open the trace at z * g^k for each offset k (multi-row
@@ -115,6 +284,15 @@ class Air:
     frame_offsets: list[int] = [0, 1]
 
     def periodic_columns(self) -> list[list[int]]:
+        return []
+
+    def public_columns(self, publics: list[int], n_rows: int) -> list[list[int]]:
+        """Full-length columns derived deterministically from the public
+        inputs (e.g. per-segment message/digest words). Both sides build
+        them independently: the prover LDEs them for constraint evaluation;
+        the verifier interpolates them at the OOD point. Unlike
+        periodic_columns these may differ per instance; unlike trace columns
+        they are not committed."""
         return []
 
     def eval_transition(self, frame: Frame, alg) -> list:
@@ -141,6 +319,7 @@ class Air:
             rows=[[zero] * self.n_cols for _ in self.frame_offsets],
             public=[zero] * self.n_public,
             periodic=[zero] * len(self.periodic_columns()),
+            public_cols=[zero] * self.n_public_cols,
         )
         alg = HostAlgebra()
         return (

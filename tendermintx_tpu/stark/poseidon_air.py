@@ -51,8 +51,13 @@ class PoseidonChainAir(Air):
     def eval_transition(self, frame: Frame, alg):
         rc = frame.periodic[: ps.WIDTH]
         sel_full, sel_partial, sel_copy = frame.periodic[ps.WIDTH :]
-        s = frame.local
         mds = ps.mds_matrix()
+
+        # Vectorized over the 12 state lanes: wide stacked ops + fori-loop
+        # weighted sums keep the expression DAG shallow (deep chained
+        # accumulations make XLA's CPU backend explode; see GF.sum).
+        s_vec = alg.stack(frame.local)  # (12, N)
+        rc_vec = alg.stack(rc)
 
         def sbox(x):
             x2 = x * x
@@ -60,25 +65,18 @@ class PoseidonChainAir(Air):
             x4 = x2 * x2
             return x3 * x4
 
-        # shared subexpressions across the 12 constraints
-        pre = [s[j] + rc[j] for j in range(ps.WIDTH)]
-        sb = [sbox(p) for p in pre]
-        mixed = [sb[0]] + pre[1:]
+        pre = s_vec + rc_vec
+        sb = sbox(pre)
+        mixed = alg.vconcat([sb[0:1], pre[1:]])
 
         constraints = []
         for i in range(ps.WIDTH):
-            full_i = None
-            part_i = None
-            for j in range(ps.WIDTH):
-                m = alg.const(mds[i][j])
-                tf = m * sb[j]
-                tp = m * mixed[j]
-                full_i = tf if full_i is None else full_i + tf
-                part_i = tp if part_i is None else part_i + tp
+            full_i = alg.weighted_sum(sb, mds[i])
+            part_i = alg.weighted_sum(mixed, mds[i])
             expr = (
                 sel_full * full_i
                 + sel_partial * part_i
-                + sel_copy * s[i]
+                + sel_copy * frame.local[i]
             )
             constraints.append(frame.next[i] - expr)
         return constraints

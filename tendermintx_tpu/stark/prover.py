@@ -178,6 +178,141 @@ def _ext_scale_base(beta: tuple[int, int], x: GF) -> GF2:
 # ---------------------------------------------------------------------------
 
 
+# Compiled-function cache. Key: (type(air), air.cache_key(), shape params).
+# Air subclasses whose constraints depend on constructor state beyond
+# (n_cols, n_public, frame_offsets) must override cache_key().
+_FN_CACHE: dict = {}
+
+
+def _air_cache_key(air):
+    custom = getattr(air, "cache_key", None)
+    extra = custom() if callable(custom) else ()
+    return (
+        type(air),
+        air.n_cols,
+        air.n_public,
+        tuple(air.frame_offsets),
+        air.constraint_degree,
+        extra,
+    )
+
+
+def _quotient_fn(air, log_n: int, rate_bits: int, shift: int):
+    key = ("quot", _air_cache_key(air), log_n, rate_bits, shift)
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
+    fn = _build_quotient_fn(air, log_n, rate_bits)
+    _FN_CACHE[key] = fn
+    return fn
+
+
+def _build_quotient_fn(air, log_n: int, rate_bits: int):
+    """Jitted end-to-end constraint-quotient evaluation for one AIR shape:
+    (trace LDE, alpha powers, publics, periodic/public columns, zerofier
+    inverses) -> Q evals over the LDE domain. Compiled once per AIR/shape;
+    eager evaluation of wide constraint systems costs ~100x more in
+    dispatch than the math itself."""
+    n = 1 << log_n
+    N = n << rate_bits
+    blowup = 1 << rate_bits
+    offsets = list(air.frame_offsets)
+    n_cols = air.n_cols
+
+    def f(trace_lde: GF, alpha_pows: GF2, pub: GF, periodic, public_cols, zinvs):
+        # all offsets at once: (n_offsets, n_cols, N) rolled views
+        stacked = GF(
+            jnp.stack([jnp.roll(trace_lde.lo, -k * blowup, axis=1) for k in offsets]),
+            jnp.stack([jnp.roll(trace_lde.hi, -k * blowup, axis=1) for k in offsets]),
+        )
+        rows = [
+            [GF(stacked.lo[ki, i], stacked.hi[ki, i]) for i in range(n_cols)]
+            for ki in range(len(offsets))
+        ]
+        alg = DeviceAlgebra(N)
+        pub_felts = [pub[i : i + 1] for i in range(pub.shape[0])]
+        frame = Frame(
+            rows=rows,
+            public=pub_felts,
+            periodic=list(periodic),
+            public_cols=list(public_cols),
+            rows_stacked=stacked,
+        )
+        groups = [
+            (air.eval_first(frame, alg), zinvs[0]),
+            (air.eval_transition(frame, alg), zinvs[1]),
+            (air.eval_cyclic(frame, alg), zinvs[2]),
+            (air.eval_last(frame, alg), zinvs[3]),
+        ]
+        # Vectorized combination: stack each group's constraints to (Kg, N),
+        # one wide mul by its zerofier inverse, then a single alpha-weighted
+        # reduction over all K constraints (the naive per-constraint loop
+        # costs ~600 wide field ops and dominates compile time).
+        czi_parts = []
+        for constraints, zi in groups:
+            if not constraints:
+                continue
+            stacked = GF.stack(constraints, axis=0)  # (Kg, N)
+            zi_b = GF(zi.lo[None, :], zi.hi[None, :])
+            czi_parts.append(stacked * zi_b)
+        all_czi = GF.concatenate(czi_parts, axis=0)  # (K, N)
+        a_lo = GF(alpha_pows.c0.lo[:, None], alpha_pows.c0.hi[:, None])
+        a_hi = GF(alpha_pows.c1.lo[:, None], alpha_pows.c1.hi[:, None])
+        q = GF2((a_lo * all_czi).sum(axis=0), (a_hi * all_czi).sum(axis=0))
+        return q
+
+    return jax.jit(f)
+
+
+def _deep_compose_fn(air, log_n: int, rate_bits: int):
+    key = ("deep", _air_cache_key(air), log_n, rate_bits)
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
+    fn = _build_deep_fn(air, log_n, rate_bits)
+    _FN_CACHE[key] = fn
+    return fn
+
+
+def _build_deep_fn(air, log_n: int, rate_bits: int):
+    """Jitted DEEP composition: per opening group, G(x) = sum_i beta_i T_i(x)
+    (+ chunks in group 0), F = sum_g (G - G0_g) * inv(x - z_g)."""
+    n_cols = air.n_cols
+    n_offsets = len(air.frame_offsets)
+    N = 1 << (log_n + rate_bits)
+
+    def f(trace_lde: GF, chunks: GF2, betas_t: GF2, betas_q: GF2, g0s: GF2, invs: GF2):
+        # trace_lde: (n_cols, N); chunks: (n_chunks, N) ext
+        # betas_t: (n_offsets, n_cols) ext; betas_q: (n_chunks,) ext
+        # g0s: (n_offsets,) ext; invs: (n_offsets, N) ext
+        F = GF2.zeros((N,))
+        for gi in range(n_offsets):
+            # ext-scalar-per-column times base columns, summed over columns
+            bc0 = betas_t.c0[gi][:, None].broadcast_to((n_cols, N))
+            bc1 = betas_t.c1[gi][:, None].broadcast_to((n_cols, N))
+            G = GF2((bc0 * trace_lde).sum(axis=0), (bc1 * trace_lde).sum(axis=0))
+            if gi == 0:
+                n_chunks = chunks.shape[0]
+                qb = GF2(
+                    betas_q.c0[:, None].broadcast_to((n_chunks, N)),
+                    betas_q.c1[:, None].broadcast_to((n_chunks, N)),
+                )
+                G = G + (qb * chunks).sum(axis=0)
+            g0 = g0s[gi]
+            G = G - GF2(g0.c0.broadcast_to((N,)), g0.c1.broadcast_to((N,)))
+            F = F + G * invs[gi]
+        return F
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _chunk_lde_fn(rate_bits: int, shift: int):
+    @jax.jit
+    def f(coeffs: GF):
+        return nttmod.coset_lde(coeffs, rate_bits, shift)
+
+    return f
+
+
 @lru_cache(maxsize=None)
 def _trace_lde_fn(rate_bits: int, shift: int):
     @jax.jit
@@ -236,51 +371,36 @@ def prove(
     challenger.observe_digest(trace_tree.root)
     alpha = challenger.sample_ext()
 
-    # 2. Constraint evaluation on the LDE domain.
+    # 2. Constraint evaluation on the LDE domain (one jitted program).
     offsets = list(air.frame_offsets)
     assert offsets[0] == 0, "frame_offsets must start with 0"
-    rows = [
-        [
-            GF(
-                jnp.roll(trace_lde.lo[i], -k * blowup),
-                jnp.roll(trace_lde.hi[i], -k * blowup),
-            )
-            for i in range(n_cols)
-        ]
-        if k
-        else [trace_lde[i] for i in range(n_cols)]
-        for k in offsets
-    ]
-    alg = DeviceAlgebra(N)
-    pub = [alg.const(v) for v in public_inputs]
-    periodic = [
+    n_constraints = air.n_constraints
+    alpha_list = []
+    a_pow = (1, 0)
+    for _ in range(n_constraints):
+        alpha_list.append(a_pow)
+        a_pow = ext_mul(a_pow, alpha)
+    alpha_pows = _ext_list_to_gf2(alpha_list)
+    pub_gf = GF.from_ints(np.array([v % P for v in public_inputs], dtype=object)) \
+        if public_inputs else GF.zeros((0,))
+    periodic = tuple(
         _np_gf(_periodic_lde(tuple(p), log_n, rate_bits, shift))
         for p in air.periodic_columns()
-    ]
-    frame = Frame(rows=rows, public=pub, periodic=periodic)
-    groups = [
-        ("first", air.eval_first(frame, alg)),
-        ("transition", air.eval_transition(frame, alg)),
-        ("cyclic", air.eval_cyclic(frame, alg)),
-        ("last", air.eval_last(frame, alg)),
-    ]
+    )
+    public_cols = []
+    for col in air.public_columns(list(public_inputs), n):
+        assert len(col) == n
+        col_gf = GF.from_ints(np.array([[v % P for v in col]], dtype=object))
+        _, col_lde = _trace_lde_fn(rate_bits, shift)(col_gf)
+        public_cols.append(col_lde[0])
+    public_cols = tuple(public_cols)
 
     tz, fz, lz, cz = _zerofier_inverses(log_n, rate_bits, shift)
-    zinv = {
-        "transition": _np_gf(tz),
-        "first": _np_gf(fz),
-        "last": _np_gf(lz),
-        "cyclic": _np_gf(cz),
-    }
+    zinvs = (_np_gf(fz), _np_gf(tz), _np_gf(cz), _np_gf(lz))
 
-    # Q(x) = sum_k alpha^k C_k(x) * Zinv_k(x)  (ext values over the domain)
-    q_evals = GF2.zeros((N,))
-    a_pow = (1, 0)
-    for gname, constraints in groups:
-        zi = zinv[gname]
-        for c in constraints:
-            q_evals = q_evals + _ext_scale_base(a_pow, c * zi)
-            a_pow = ext_mul(a_pow, alpha)
+    q_evals = _quotient_fn(air, log_n, rate_bits, shift)(
+        trace_lde, alpha_pows, pub_gf, periodic, public_cols, zinvs
+    )
 
     # 3. Quotient -> coefficients -> split into degree-<n chunks -> commit.
     qc0, qc1 = _coset_intt_fn(shift)(q_evals.c0, q_evals.c1)
@@ -292,11 +412,15 @@ def prove(
     # (Degree check happens implicitly: the verifier's OOD identity fails if
     # Q had coefficients beyond n_chunks * n.)
 
-    chunk_ldes = []
-    for ch in chunk_coeffs:
-        l0 = nttmod.coset_lde(ch.c0, rate_bits, shift)
-        l1 = nttmod.coset_lde(ch.c1, rate_bits, shift)
-        chunk_ldes.append(GF2(l0, l1))
+    # Batched jitted chunk LDE (an eager per-chunk loop pays ~ms/primitive
+    # dispatch overhead, which dominates for high-degree AIRs).
+    chunk_stack = GF.stack(
+        [x for ch in chunk_coeffs for x in (ch.c0, ch.c1)], axis=0
+    )  # (2*n_chunks, n)
+    chunk_lde_all = _chunk_lde_fn(rate_bits, shift)(chunk_stack)
+    chunk_ldes = [
+        GF2(chunk_lde_all[2 * j], chunk_lde_all[2 * j + 1]) for j in range(n_chunks)
+    ]
     quot_rows = GF.stack(
         [x for ch in chunk_ldes for x in (ch.c0, ch.c1)], axis=-1
     )  # (N, 2*n_chunks)
@@ -326,28 +450,41 @@ def prove(
 
     # 5. DEEP composition over the LDE domain: one group per opening point.
     #    Group 0 (at z): trace cols + quotient chunks. Group k>0 (at z*g^k):
-    #    trace cols. F = sum_g (G(x) - G(z_g)) / (x - z_g).
+    #    trace cols. F = sum_g (G(x) - G(z_g)) / (x - z_g). Single jitted
+    #    program; beta powers, OOD sums and denominator inverses are small
+    #    host-side inputs.
     pts = _domain_points(log_n + rate_bits, shift)
+    betas_t = []  # per offset, per col
+    betas_q = []
+    g0_list = []
+    inv_rows = []
     b_pow = (1, 0)
-    F = None
     for gi, k in enumerate(offsets):
         zk = ext_mul(z, (pow(g_trace, k, P), 0))
-        G = GF2.zeros((N,))
+        row_betas = []
         G0 = (0, 0)
         for i in range(n_cols):
-            G = G + _ext_scale_base(b_pow, trace_lde[i])
+            row_betas.append(b_pow)
             G0 = ext_add(G0, ext_mul(b_pow, ood_trace[gi][i]))
             b_pow = ext_mul(b_pow, beta)
         if gi == 0:
-            for j, ch in enumerate(chunk_ldes):
-                G = G + ch * _broadcast_ext(b_pow, N)
+            for j in range(len(chunk_ldes)):
+                betas_q.append(b_pow)
                 G0 = ext_add(G0, ext_mul(b_pow, ood_quot[j]))
                 b_pow = ext_mul(b_pow, beta)
-        inv_xz = _ext_list_to_gf2(
-            _batch_ext_inv([ext_sub((x, 0), zk) for x in pts])
-        )
-        term = _deep_term(G, _ext_scalar(G0), inv_xz)
-        F = term if F is None else F + term
+        betas_t.append(row_betas)
+        g0_list.append(G0)
+        inv_rows.append(_batch_ext_inv([ext_sub((x, 0), zk) for x in pts]))
+
+    betas_t_gf2 = GF2.stack([_ext_list_to_gf2(r) for r in betas_t], axis=0)
+    betas_q_gf2 = _ext_list_to_gf2(betas_q)
+    g0s_gf2 = _ext_list_to_gf2(g0_list)
+    invs_gf2 = GF2.stack([_ext_list_to_gf2(r) for r in inv_rows], axis=0)
+    chunks_gf2 = GF2.stack(chunk_ldes, axis=0)  # (n_chunks, N)
+
+    F = _deep_compose_fn(air, log_n, rate_bits)(
+        trace_lde, chunks_gf2, betas_t_gf2, betas_q_gf2, g0s_gf2, invs_gf2
+    )
 
     # 6. FRI low-degree proof (degree bound n on domain N).
     fri_proof = fri_prove(F, challenger, config.fri, shift)

@@ -71,10 +71,22 @@ def verify(air: Air, proof: StarkProof, config: StarkConfig = StarkConfig()) -> 
             acc = ext_add(ext_mul(acc, z_pow), (c % P, 0))
         periodic_at_z.append(HostFelt(acc))
 
+    # public columns: interpolate each full-length column at z (host iNTT)
+    public_cols_at_z = []
+    for col in air.public_columns(list(proof.public_inputs), n):
+        if len(col) != n:
+            return False
+        coeffs = periodic_interpolant(tuple(v % P for v in col))
+        acc = (0, 0)
+        for c in reversed(coeffs):
+            acc = ext_add(ext_mul(acc, z), (c % P, 0))
+        public_cols_at_z.append(HostFelt(acc))
+
     frame = Frame(
         rows=[[HostFelt(tuple(v)) for v in per] for per in proof.ood_trace],
         public=[HostFelt((v % P, 0)) for v in proof.public_inputs],
         periodic=periodic_at_z,
+        public_cols=public_cols_at_z,
     )
     alg = HostAlgebra()
     z_pow_n = ext_pow(z, n)

@@ -23,3 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: STARK quotient/DEEP graphs are large and
+# recompile per (AIR, shape); cache across test runs
+os.makedirs("/tmp/tendermintx_tpu_jaxcache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/tendermintx_tpu_jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

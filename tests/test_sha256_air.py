@@ -26,7 +26,7 @@ def test_trace_digest_matches_hashlib():
 def test_sha256_stark_roundtrip():
     block = pad_single_block(b"tendermintx-tpu sha256 air")
     trace, publics = sha256_block_trace(block)
-    air = Sha256Air()
+    air = Sha256Air(1)
     proof = prove(air, trace, publics, CFG)
     assert verify(air, proof, CFG)
 
@@ -34,7 +34,7 @@ def test_sha256_stark_roundtrip():
 def test_wrong_digest_rejected():
     block = pad_single_block(b"abc")
     trace, publics = sha256_block_trace(block)
-    air = Sha256Air()
+    air = Sha256Air(1)
     bad_publics = list(publics)
     bad_publics[16] = (bad_publics[16] + 1) % P
     proof = prove(air, trace, bad_publics, CFG)
@@ -44,7 +44,7 @@ def test_wrong_digest_rejected():
 def test_wrong_message_rejected():
     block = pad_single_block(b"abc")
     trace, publics = sha256_block_trace(block)
-    air = Sha256Air()
+    air = Sha256Air(1)
     bad_publics = list(publics)
     bad_publics[0] ^= 1  # claim a different first message word
     proof = prove(air, trace, bad_publics, CFG)
@@ -54,8 +54,40 @@ def test_wrong_message_rejected():
 def test_tampered_trace_root_rejected():
     block = pad_single_block(b"xyz")
     trace, publics = sha256_block_trace(block)
-    air = Sha256Air()
+    air = Sha256Air(1)
     proof = prove(air, trace, publics, CFG)
     bad = copy.deepcopy(proof)
     bad.trace_root[0] = (bad.trace_root[0] + 1) % P
     assert not verify(air, bad, CFG)
+
+
+def test_sha256_batch_validator_leaves():
+    """BASELINE config 2 essence: all validator leaves of a header proven in
+    one batched trace."""
+    import os
+
+    from tendermintx_tpu.inputs.fetcher import InputDataFetcher, InputDataMode
+    from tendermintx_tpu.stark.sha256_air import sha256_batch_trace
+
+    fix = "/root/reference/circuits/fixtures/mocha-4"
+    if not os.path.isdir(fix):
+        import pytest
+
+        pytest.skip("reference fixtures not present")
+    f = InputDataFetcher(fixture_path=fix, mode=InputDataMode.FIXTURE)
+    vals = f.get_validator_set_from_number(10500)  # 3 validators
+    leaves = [b"\x00" + v.simple_encode() for v in vals]
+    leaves.append(b"\x00")  # pad batch to 4
+    blocks = [pad_single_block(l) for l in leaves]
+    trace, publics = sha256_batch_trace(blocks)
+    air = Sha256Air(4)
+    proof = prove(air, trace, publics, CFG)
+    assert verify(air, proof, CFG)
+    for i, leaf in enumerate(leaves):
+        got = digest_words_to_bytes(publics[24 * i + 16 : 24 * i + 24])
+        assert got == hashlib.sha256(leaf).digest()
+    # cross-segment tamper: swap two segments' digests
+    bad = list(publics)
+    bad[16:24], bad[40:48] = bad[40:48], bad[16:24]
+    p2 = prove(air, trace, bad, CFG)
+    assert not verify(air, p2, CFG)
