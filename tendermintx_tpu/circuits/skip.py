@@ -74,3 +74,18 @@ class SkipCircuit:
                 f"skip verification failed for {trusted_block} -> {target_block}"
             )
         return bytes(np.asarray(target_header))
+
+    def run_with_proof(self, input_bytes: bytes, stark_config=None):
+        """run() plus a STARK proof of the target validator-leaf hashing.
+        Returns (output_bytes, LeafProofBundle)."""
+        from .proving import prove_validator_leaves
+
+        trusted_block, trusted_hash, target_block = decode_skip_input(input_bytes)
+        inputs = self.fetcher.get_skip_inputs(
+            trusted_block, trusted_hash, target_block, self.max_validators
+        )
+        out = self.run(input_bytes)
+        bundle = prove_validator_leaves(
+            inputs.target_block_validators, stark_config
+        )
+        return out, bundle

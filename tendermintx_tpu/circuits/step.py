@@ -63,3 +63,18 @@ class StepCircuit:
                 f"step verification failed for block {prev_block + 1}"
             )
         return bytes(np.asarray(next_header))
+
+    def run_with_proof(self, input_bytes: bytes, stark_config=None):
+        """run() plus a STARK proof of the validator-leaf hashing.
+        Returns (output_bytes, LeafProofBundle)."""
+        from .proving import prove_validator_leaves
+
+        prev_block, prev_hash = decode_step_input(input_bytes)
+        inputs = self.fetcher.get_step_inputs(
+            prev_block, prev_hash, self.max_validators
+        )
+        out = self.run(input_bytes)
+        bundle = prove_validator_leaves(
+            inputs.next_block_validators, stark_config
+        )
+        return out, bundle

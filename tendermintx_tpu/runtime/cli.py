@@ -83,15 +83,63 @@ def cmd_prove(args) -> int:
         )
 
     result = {
+        "input": request["input"],
+        "circuit": artifact.circuit,
+        "chain": artifact.chain,
+        "max_validators": artifact.max_validators,
         "output": "0x" + bytes(np.asarray(out)).hex(),
         "valid": bool(valid),
     }
+    if args.stark and result["valid"]:
+        from ..circuits.config import TendermintConfig
+        from ..circuits.proving import prove_validator_leaves
+
+        config = TendermintConfig(chain_id=artifact.chain)
+        lanes = (
+            inputs.next_block_validators
+            if artifact.circuit == "step"
+            else inputs.target_block_validators
+        )
+        bundle = prove_validator_leaves(lanes)
+        result["stark_leaf_proof"] = bundle.to_dict()
+        print(f"proved validator-leaf SHA-256 STARK over {bundle.n_lanes} lanes")
     if not result["valid"]:
         print("verification FAILED", file=sys.stderr)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print(f"proved: output {result['output']} valid={result['valid']} -> {args.out}")
     return 0 if result["valid"] else 1
+
+
+def cmd_verify(args) -> int:
+    from ..circuits.proving import LeafProofBundle, verify_leaf_bundle
+    from ..circuits.skip import decode_skip_input
+    from ..circuits.step import decode_step_input
+    from ..inputs.fetcher import InputDataFetcher
+
+    with open(args.proof) as f:
+        result = json.load(f)
+    input_bytes = bytes.fromhex(result["input"].removeprefix("0x"))
+    fetcher = InputDataFetcher(fixture_path=args.fixture_path or "")
+    max_validators = int(result["max_validators"])
+    if result["circuit"] == "step":
+        prev_block, prev_hash = decode_step_input(input_bytes)
+        inputs = fetcher.get_step_inputs(prev_block, prev_hash, max_validators)
+        lanes = inputs.next_block_validators
+        expected = inputs.next_header
+    else:
+        t_block, t_hash, target = decode_skip_input(input_bytes)
+        inputs = fetcher.get_skip_inputs(t_block, t_hash, target, max_validators)
+        lanes = inputs.target_block_validators
+        expected = inputs.target_header
+    ok = result["output"] == "0x" + expected.hex()
+    if "stark_leaf_proof" in result:
+        bundle = LeafProofBundle.from_dict(result["stark_leaf_proof"])
+        stark_ok = verify_leaf_bundle(bundle, lanes)
+        print(f"leaf STARK proof: {'OK' if stark_ok else 'FAILED'}")
+        ok = ok and stark_ok
+    print(f"output binding: {'OK' if ok else 'FAILED'}")
+    return 0 if ok else 1
 
 
 def cmd_operator(args) -> int:
@@ -120,7 +168,17 @@ def main(argv=None) -> int:
     pr.add_argument("--input", required=True)
     pr.add_argument("--out", default="proof.json")
     pr.add_argument("--fixture-path", default=None)
+    pr.add_argument(
+        "--stark",
+        action="store_true",
+        help="also produce the validator-leaf SHA-256 STARK proof",
+    )
     pr.set_defaults(fn=cmd_prove)
+
+    ver = sub.add_parser("verify", help="verify a proof file")
+    ver.add_argument("--proof", required=True)
+    ver.add_argument("--fixture-path", default=None)
+    ver.set_defaults(fn=cmd_verify)
 
     op = sub.add_parser("operator", help="run the light-client operator loop")
     op.add_argument("--config", required=True)

@@ -1,0 +1,119 @@
+"""Proof (de)serialization: StarkProof/FriProof <-> JSON-compatible dicts.
+
+Completes the artifact story (SURVEY.md N12): circuit artifacts serialize
+via jax.export (runtime/artifact.py), proofs serialize here. Field elements
+are decimal strings (64-bit ints exceed JSON's safe-integer range in other
+tooling); digests are 4-element lists.
+"""
+
+from __future__ import annotations
+
+import json
+
+from .fri import FriProof
+from .prover import StarkProof
+
+
+def _ints(xs):
+    return [str(int(v)) for v in xs]
+
+
+def _unints(xs):
+    return [int(v) for v in xs]
+
+
+def _ext(v):
+    return [str(int(v[0])), str(int(v[1]))]
+
+
+def _unext(v):
+    return (int(v[0]), int(v[1]))
+
+
+def fri_proof_to_dict(p: FriProof) -> dict:
+    return {
+        "layer_roots": [_ints(r) for r in p.layer_roots],
+        "final_poly": [_ext(c) for c in p.final_poly],
+        "query_rounds": [
+            [
+                {
+                    "val_i": _ext(vi),
+                    "val_j": _ext(vj),
+                    "path_i": [_ints(s) for s in pi],
+                    "path_j": [_ints(s) for s in pj],
+                }
+                for (vi, vj, pi, pj) in per_layer
+            ]
+            for per_layer in p.query_rounds
+        ],
+    }
+
+
+def fri_proof_from_dict(d: dict) -> FriProof:
+    return FriProof(
+        layer_roots=[_unints(r) for r in d["layer_roots"]],
+        final_poly=[_unext(c) for c in d["final_poly"]],
+        query_rounds=[
+            [
+                (
+                    _unext(q["val_i"]),
+                    _unext(q["val_j"]),
+                    [_unints(s) for s in q["path_i"]],
+                    [_unints(s) for s in q["path_j"]],
+                )
+                for q in per_layer
+            ]
+            for per_layer in d["query_rounds"]
+        ],
+    )
+
+
+def stark_proof_to_dict(p: StarkProof) -> dict:
+    return {
+        "version": 1,
+        "n_rows": p.n_rows,
+        "public_inputs": _ints(p.public_inputs),
+        "trace_root": _ints(p.trace_root),
+        "quotient_root": _ints(p.quotient_root),
+        "ood_trace": [[_ext(v) for v in per] for per in p.ood_trace],
+        "ood_quotient": [_ext(v) for v in p.ood_quotient],
+        "fri": fri_proof_to_dict(p.fri_proof),
+        "openings": {
+            str(idx): {
+                "trace_row": _ints(trow),
+                "trace_path": [_ints(s) for s in tpath],
+                "quot_row": _ints(qrow),
+                "quot_path": [_ints(s) for s in qpath],
+            }
+            for idx, (trow, tpath, qrow, qpath) in p.openings.items()
+        },
+    }
+
+
+def stark_proof_from_dict(d: dict) -> StarkProof:
+    return StarkProof(
+        n_rows=int(d["n_rows"]),
+        public_inputs=_unints(d["public_inputs"]),
+        trace_root=_unints(d["trace_root"]),
+        quotient_root=_unints(d["quotient_root"]),
+        ood_trace=[[_unext(v) for v in per] for per in d["ood_trace"]],
+        ood_quotient=[_unext(v) for v in d["ood_quotient"]],
+        fri_proof=fri_proof_from_dict(d["fri"]),
+        openings={
+            int(k): (
+                _unints(v["trace_row"]),
+                [_unints(s) for s in v["trace_path"]],
+                _unints(v["quot_row"]),
+                [_unints(s) for s in v["quot_path"]],
+            )
+            for k, v in d["openings"].items()
+        },
+    )
+
+
+def proof_to_json(p: StarkProof) -> str:
+    return json.dumps(stark_proof_to_dict(p))
+
+
+def proof_from_json(s: str) -> StarkProof:
+    return stark_proof_from_dict(json.loads(s))
