@@ -304,6 +304,78 @@ def _build_deep_fn(air, log_n: int, rate_bits: int):
     return jax.jit(f)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=1)
+def _zpowers_fn(z: GF2, n: int):
+    """[z^0 .. z^(n-1)] as a GF2 (n,) array (device scan)."""
+    lo0 = jnp.zeros((n,), jnp.uint32).at[0].set(1)
+    zero = jnp.zeros((n,), jnp.uint32)
+    acc = GF2(GF(lo0, zero), GF(zero, zero))
+
+    def body(i, acc):
+        prev = GF2(
+            GF(acc.c0.lo[i - 1], acc.c0.hi[i - 1]),
+            GF(acc.c1.lo[i - 1], acc.c1.hi[i - 1]),
+        )
+        cur = prev * GF2(
+            GF(z.c0.lo[0], z.c0.hi[0]), GF(z.c1.lo[0], z.c1.hi[0])
+        )
+        return GF2(
+            GF(acc.c0.lo.at[i].set(cur.c0.lo), acc.c0.hi.at[i].set(cur.c0.hi)),
+            GF(acc.c1.lo.at[i].set(cur.c1.lo), acc.c1.hi.at[i].set(cur.c1.hi)),
+        )
+
+    return jax.lax.fori_loop(1, n, body, acc)
+
+
+@jax.jit
+def _ood_trace_fn(trace_coeffs: GF, zpow: GF2, gk: GF):
+    """OOD evals on device: T_i(z * g^k) for every column i and offset k.
+
+    trace_coeffs: (C, n); zpow: (n,) powers of z; gk: (n_offsets, n) with
+    gk[k][j] = g^(k*j), so T_i(z g^k) = sum_j (c_ij * gk[k][j]) * z^j.
+    Returns GF2 with shape (n_offsets, C)."""
+    n_off = gk.lo.shape[0]
+    outs = []
+    for k in range(n_off):
+        row = GF(gk.lo[k][None, :], gk.hi[k][None, :])
+        scaled = trace_coeffs * row  # (C, n)
+        c0 = (scaled * GF(zpow.c0.lo[None, :], zpow.c0.hi[None, :])).sum(axis=-1)
+        c1 = (scaled * GF(zpow.c1.lo[None, :], zpow.c1.hi[None, :])).sum(axis=-1)
+        outs.append(GF2(c0, c1))
+    return GF2.stack(outs, axis=0)
+
+
+@jax.jit
+def _ood_ext_fn(coeffs: GF2, zpow: GF2):
+    """Evaluate ext-coefficient polys (rows) at z: coeffs (K, n) -> (K,)."""
+    zp = GF2(
+        GF(zpow.c0.lo[None, :], zpow.c0.hi[None, :]),
+        GF(zpow.c1.lo[None, :], zpow.c1.hi[None, :]),
+    )
+    prod = coeffs * zp
+    return prod.sum(axis=-1)
+
+
+@lru_cache(maxsize=None)
+def _gk_table(log_n: int, offsets: tuple[int, ...]):
+    """gk[k][j] = g^(offsets[k] * j) host table as numpy limb pairs."""
+    n = 1 << log_n
+    g = nttmod.primitive_root_of_unity(log_n)
+    rows = []
+    for k in offsets:
+        base = pow(g, k, P)
+        acc = 1
+        row = []
+        for _ in range(n):
+            row.append(acc)
+            acc = acc * base % P
+        rows.append(row)
+    return from_int_array(np.array(rows, dtype=object))
+
+
 @lru_cache(maxsize=None)
 def _chunk_lde_fn(rate_bits: int, shift: int):
     @jax.jit
@@ -428,19 +500,26 @@ def prove(
     challenger.observe_digest(quot_tree.root)
     z = challenger.sample_ext()
 
-    # 4. OOD evaluations at z * g^k for every frame offset k (host Horner).
+    # 4. OOD evaluations at z * g^k for every frame offset k (device).
     g_trace = nttmod.primitive_root_of_unity(log_n)
-    trace_coeff_ints = trace_coeffs.to_ints()  # (n_cols, n)
-    ood_trace = []  # per offset: per column
-    for k in offsets:
-        zk = ext_mul(z, (pow(g_trace, k, P), 0))
-        ood_trace.append(
-            [_eval_base_poly_ext(trace_coeff_ints[i].tolist(), zk) for i in range(n_cols)]
-        )
-    ood_quot = []
-    for ch in chunk_coeffs:
-        cc0, cc1 = ch.to_ints()
-        ood_quot.append(_eval_ext_poly_ext(list(zip(cc0.tolist(), cc1.tolist())), z))
+    zpow = _zpowers_fn(_ext_scalar(z), n)
+    gk = _np_gf(_gk_table(log_n, tuple(offsets)))
+    ood_dev = _ood_trace_fn(trace_coeffs, zpow, gk)  # (n_offsets, n_cols)
+    od_c0, od_c1 = ood_dev.to_ints()
+    ood_trace = [
+        [
+            (int(od_c0[ki][i]), int(od_c1[ki][i]))
+            for i in range(n_cols)
+        ]
+        for ki in range(len(offsets))
+    ]
+    chunk_ext = GF2(
+        GF(chunk_stack.lo[0::2], chunk_stack.hi[0::2]),
+        GF(chunk_stack.lo[1::2], chunk_stack.hi[1::2]),
+    )
+    oq_dev = _ood_ext_fn(chunk_ext, zpow)
+    oq_c0, oq_c1 = oq_dev.to_ints()
+    ood_quot = [(int(oq_c0[j]), int(oq_c1[j])) for j in range(n_chunks)]
     for per_offset in ood_trace:
         for v in per_offset:
             challenger.observe_ext(v)

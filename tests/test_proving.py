@@ -73,3 +73,21 @@ def test_step_run_with_proof(tmp_path):
     assert out == chain.headers[2].hash()
     inputs = f.get_step_inputs(1, chain.headers[1].hash(), 4)
     assert verify_leaf_bundle(bundle, inputs.next_block_validators, CFG)
+
+
+def test_leaf_bundle_32_lanes_real_validators():
+    """BASELINE config 2 shape: a 32-lane circuit batch over real mocha-4
+    validators (n=2048 trace rows)."""
+    import os
+
+    fix = "/root/reference/circuits/fixtures/mocha-4"
+    if not os.path.isdir(fix):
+        pytest.skip("reference fixtures not present")
+    f = InputDataFetcher(fixture_path=fix, mode=InputDataMode.FIXTURE)
+    vals = f.get_validator_set_from_number(10500)
+    s = f.get_signed_header_from_number(10500)
+    lanes = get_validator_data_from_block(vals, s.commit, "mocha-4", 32)
+    cfg = StarkConfig(rate_bits=2, n_queries=28, final_poly_len=8)
+    bundle = prove_validator_leaves(lanes, cfg)
+    assert verify_leaf_bundle(bundle, lanes, cfg)
+    assert len(bundle.digests()) == 32
