@@ -37,10 +37,11 @@ class FriConfig:
     rate_bits: int = 3
     n_queries: int = 32
     final_poly_len: int = 32  # max number of coefficients in the final poly
+    proof_of_work_bits: int = 16  # grinding factor
 
     @property
     def security_bits(self) -> int:
-        return self.rate_bits * self.n_queries
+        return self.rate_bits * self.n_queries + self.proof_of_work_bits
 
 
 @dataclass
@@ -53,6 +54,8 @@ class FriProof:
     # Prover-side convenience only (the verifier re-derives these from the
     # transcript): the sampled layer-0 query indices.
     query_indices: list[int] = field(default_factory=list)
+    # Grinding nonce (bound into the transcript before query sampling).
+    pow_nonce: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -156,6 +159,13 @@ def fri_prove(
     for c in final_coeffs:
         challenger.observe_ext(c)
 
+    # Grinding (proof of work): find a nonce whose bound hash has
+    # proof_of_work_bits low zero bits, then bind it into the transcript
+    # before query sampling. Adds pow_bits to the conjectured security.
+    pow_seed = challenger.sample()
+    pow_nonce = grind(pow_seed, config.proof_of_work_bits)
+    challenger.observe_element(pow_nonce)
+
     # Query phase.
     query_indices = challenger.sample_indices(config.n_queries, n)
     host_layers = [None] * len(trees)
@@ -183,7 +193,26 @@ def fri_prove(
         final_poly=final_coeffs,
         query_rounds=query_rounds,
         query_indices=query_indices,
+        pow_nonce=pow_nonce,
     )
+
+
+def grind(seed: int, pow_bits: int) -> int:
+    """Find nonce with poseidon_hash([seed, nonce])[0] ≡ 0 mod 2^pow_bits."""
+    if pow_bits == 0:
+        return 0
+    mask = (1 << pow_bits) - 1
+    nonce = 0
+    while True:
+        if ps.hash_ints([seed, nonce])[0] & mask == 0:
+            return nonce
+        nonce += 1
+
+
+def check_grind(seed: int, nonce: int, pow_bits: int) -> bool:
+    if pow_bits == 0:
+        return True
+    return ps.hash_ints([seed, nonce])[0] & ((1 << pow_bits) - 1) == 0
 
 
 def _coset_intt_ext(evals: list[tuple[int, int]], shift: int) -> list[tuple[int, int]]:
@@ -270,6 +299,12 @@ def fri_verify(
         betas.append(challenger.sample_ext())
     for c in proof.final_poly:
         challenger.observe_ext(c)
+    pow_seed = challenger.sample()
+    if not check_grind(pow_seed, proof.pow_nonce, config.proof_of_work_bits):
+        return False
+    if not 0 <= proof.pow_nonce < P:
+        return False
+    challenger.observe_element(proof.pow_nonce)
     query_indices = challenger.sample_indices(config.n_queries, n)
 
     if len(proof.query_rounds) != config.n_queries:

@@ -38,6 +38,7 @@ class StarkConfig:
     rate_bits: int = 3
     n_queries: int = 32
     final_poly_len: int = 32
+    proof_of_work_bits: int = 16
     shift: int = MULTIPLICATIVE_GENERATOR
 
     @property
@@ -46,6 +47,7 @@ class StarkConfig:
             rate_bits=self.rate_bits,
             n_queries=self.n_queries,
             final_poly_len=self.final_poly_len,
+            proof_of_work_bits=self.proof_of_work_bits,
         )
 
 

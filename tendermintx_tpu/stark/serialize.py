@@ -32,6 +32,7 @@ def _unext(v):
 
 def fri_proof_to_dict(p: FriProof) -> dict:
     return {
+        "pow_nonce": str(int(p.pow_nonce)),
         "layer_roots": [_ints(r) for r in p.layer_roots],
         "final_poly": [_ext(c) for c in p.final_poly],
         "query_rounds": [
@@ -51,6 +52,7 @@ def fri_proof_to_dict(p: FriProof) -> dict:
 
 def fri_proof_from_dict(d: dict) -> FriProof:
     return FriProof(
+        pow_nonce=int(d.get("pow_nonce", 0)),
         layer_roots=[_unints(r) for r in d["layer_roots"]],
         final_poly=[_unext(c) for c in d["final_poly"]],
         query_rounds=[

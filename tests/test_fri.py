@@ -80,3 +80,19 @@ def test_fri_high_degree_fails():
     )
     with pytest.raises(AssertionError):
         fri.fri_prove(evals, Challenger(), CFG)
+
+
+def test_grinding_enforced():
+    # a proof with a wrong pow nonce must fail before any query checking
+    evals = make_lde(6, CFG.rate_bits)
+    cfg = fri.FriConfig(rate_bits=2, n_queries=8, final_poly_len=8, proof_of_work_bits=8)
+    proof = fri.fri_prove(evals, Challenger(), cfg)
+    assert fri.fri_verify(proof, 64, 256, Challenger(), cfg)
+    import copy
+
+    bad = copy.deepcopy(proof)
+    bad.pow_nonce += 1
+    assert not fri.fri_verify(bad, 64, 256, Challenger(), cfg)
+    # stricter verifier: proof ground for 8 bits fails a 20-bit check
+    cfg20 = fri.FriConfig(rate_bits=2, n_queries=8, final_poly_len=8, proof_of_work_bits=20)
+    assert not fri.fri_verify(proof, 64, 256, Challenger(), cfg20)
