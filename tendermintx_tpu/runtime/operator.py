@@ -116,6 +116,10 @@ class OperatorConfig:
     interval_seconds: int = 240 * 60  # reference cadence (tendermintx.rs:171)
     genesis_height: int | None = None
     genesis_header_hex: str | None = None
+    # produce the validator-leaf SHA-256 STARK with every update and keep it
+    # in `last_bundle` (submission of proofs on-chain goes through the
+    # gateway in a real deployment)
+    prove_stark: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "OperatorConfig":
@@ -143,6 +147,7 @@ class TendermintXOperator:
                 bytes.fromhex(config.genesis_header_hex.removeprefix("0x")),
                 skip_max=tm_config.skip_max,
             )
+        self.last_bundle = None  # most recent LeafProofBundle (prove_stark)
         self.step_circuit = StepCircuit(
             config.max_validators, tm_config, self.fetcher
         )
@@ -179,10 +184,18 @@ class TendermintXOperator:
         target = self.fetcher.find_block_to_request(current, max_end)
         header = self.contract.header_hash(current)
         if target == current + 1:
-            out = self.step_circuit.run(encode_step_input(current, header))
+            enc = encode_step_input(current, header)
+            if self.config.prove_stark:
+                out, self.last_bundle = self.step_circuit.run_with_proof(enc)
+            else:
+                out = self.step_circuit.run(enc)
             self._submit_step(current, out)
             return ("step", current + 1)
-        out = self.skip_circuit.run(encode_skip_input(current, header, target))
+        enc = encode_skip_input(current, header, target)
+        if self.config.prove_stark:
+            out, self.last_bundle = self.skip_circuit.run_with_proof(enc)
+        else:
+            out = self.skip_circuit.run(enc)
         self._submit_skip(current, target, out)
         return ("skip", target)
 

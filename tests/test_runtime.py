@@ -129,3 +129,20 @@ def test_operator_steps_when_adjacent(chain_fixtures):
     result = op.tick(chain_tip=7)
     assert result == ("step", 7)
     assert contract.header_hash(7) == chain.headers[7].hash()
+
+
+def test_operator_with_stark_bundle(chain_fixtures):
+    from tendermintx_tpu.circuits.proving import verify_leaf_bundle
+
+    chain, fix = chain_fixtures
+    f = InputDataFetcher(fixture_path=fix, mode=InputDataMode.FIXTURE)
+    cfg = OperatorConfig(
+        chain_id="test-chain", max_validators=4, fixture_path=fix, prove_stark=True
+    )
+    contract = MockContract(6, chain.headers[6].hash())
+    op = TendermintXOperator(cfg, contract=contract, fetcher=f)
+    result = op.tick(chain_tip=7)
+    assert result == ("step", 7)
+    assert op.last_bundle is not None
+    inputs = f.get_step_inputs(6, chain.headers[6].hash(), 4)
+    assert verify_leaf_bundle(op.last_bundle, inputs.next_block_validators)
