@@ -4,6 +4,8 @@ import copy
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tendermintx_tpu.ops.goldilocks import P
 from tendermintx_tpu.stark.poseidon_air import (
     PoseidonChainAir,

@@ -5,6 +5,8 @@ import json
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tendermintx_tpu.circuits.config import TendermintConfig
 from tendermintx_tpu.circuits.proving import (
     LeafProofBundle,

@@ -7,6 +7,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tendermintx_tpu.inputs.fetcher import InputDataFetcher, InputDataMode
 from tendermintx_tpu.inputs.testchain import TestChain
 from tendermintx_tpu.runtime.operator import (

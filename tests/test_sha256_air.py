@@ -3,6 +3,10 @@
 import copy
 import hashlib
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from tendermintx_tpu.ops.goldilocks import P
 from tendermintx_tpu.stark.prover import StarkConfig, prove
 from tendermintx_tpu.stark.sha256_air import (

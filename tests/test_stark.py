@@ -5,6 +5,8 @@ import copy
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tendermintx_tpu.ops.goldilocks import GF, P
 from tendermintx_tpu.stark.air import Air
 from tendermintx_tpu.stark.prover import StarkConfig, prove
