@@ -243,17 +243,27 @@ def message_checks(
     )
     height_ok = (h_lo == expected_height[0]) & (h_hi == expected_height[1])
     # round: when round != 0, byte 12 is the sfixed64 tag 0x19 and bytes
-    # 13..21 hold the round LE (validator.rs:126-142); round is < 2^32 here
+    # 13..21 hold the round LE. All 8 bytes are compared (the reference
+    # checks ROUND_START_IDX..+8, validator.rs:126-142): the commit round is
+    # a u32 here, so the high word must be exactly zero — which also
+    # enforces verify_non_negative_round (validator.rs:73-78), since the
+    # sfixed64 sign bit lives in byte 20.
     r_lo = (
         messages[:, 13].astype(jnp.uint32)
         | (messages[:, 14].astype(jnp.uint32) << 8)
         | (messages[:, 15].astype(jnp.uint32) << 16)
         | (messages[:, 16].astype(jnp.uint32) << 24)
     )
+    r_hi = (
+        messages[:, 17].astype(jnp.uint32)
+        | (messages[:, 18].astype(jnp.uint32) << 8)
+        | (messages[:, 19].astype(jnp.uint32) << 16)
+        | (messages[:, 20].astype(jnp.uint32) << 24)
+    )
     round_ok = jnp.where(
         round_ == 0,
         jnp.ones((B,), bool),
-        (messages[:, 12] == 0x19) & (r_lo == round_),
+        (messages[:, 12] == 0x19) & (r_lo == round_) & (r_hi == 0),
     )
     # header hash at offset 16 (round == 0) or 25 (round != 0)
     # (verify_hash_in_message, validator.rs:155-183)
