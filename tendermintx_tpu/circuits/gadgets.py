@@ -213,6 +213,7 @@ def voting_threshold_ok(vp_lo, vp_hi, included_mask, enabled_mask, num: int, den
 
 def message_checks(
     messages: jnp.ndarray,
+    msg_len: jnp.ndarray,
     signed: jnp.ndarray,
     round_: jnp.ndarray,
     expected_height: jnp.ndarray,
@@ -221,10 +222,13 @@ def message_checks(
     """Per-lane checks that each signed message is a Precommit for the right
     (height, round, header hash).
 
-    messages: (B, 124) uint8; signed: (B,) bool; round_: () uint32 (commit
-    round); expected_height: () uint64 as (lo, hi) uint32 pair;
-    header_hash: (32,) uint8. Returns (B,) bool — True where the lane is
-    consistent (unsigned lanes are vacuously True)."""
+    messages: (B, 124) uint8; msg_len: (B,) uint32 — the byte length the
+    signature covers (the SHA-512 challenge hashes messages[:msg_len], so
+    every checked byte must lie inside that window); signed: (B,) bool;
+    round_: () uint32 (commit round); expected_height: () uint64 as
+    (lo, hi) uint32 pair; header_hash: (32,) uint8. Returns (B,) bool —
+    True where the lane is consistent (unsigned lanes are vacuously
+    True)."""
     B = messages.shape[0]
     # precommit marker [8, 2] at bytes 1..2 (reference validator.rs:104-110)
     is_precommit = (messages[:, 1] == 8) & (messages[:, 2] == 2)
@@ -271,7 +275,12 @@ def message_checks(
     idx = off + jnp.arange(32)
     window = messages[:, idx]  # (B, 32)
     hash_ok = jnp.all(window == header_hash[None, :], axis=1)
-    ok = is_precommit & height_ok & round_ok & hash_ok
+    # every byte this function inspects must be covered by the signature:
+    # the hash window is the furthest read (bytes beyond msg_len are NOT
+    # signed, so a short signed prefix with unsigned tail bytes placed to
+    # satisfy these checks must be rejected)
+    len_ok = (msg_len >= off + 32) & (msg_len <= jnp.uint32(messages.shape[1]))
+    ok = is_precommit & height_ok & round_ok & hash_ok & len_ok
     return jnp.where(signed, ok, True)
 
 

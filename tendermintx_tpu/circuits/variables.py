@@ -72,19 +72,30 @@ class ValidatorLanes:
     leaf_len: jnp.ndarray  # (B,) u32
     signed: jnp.ndarray  # (B,) bool
     enabled: jnp.ndarray  # (B,) bool
-    # Ed25519 Straus inputs (conditional lanes already substituted)
+    # Ed25519 Straus inputs (conditional lanes already substituted). The
+    # verification program re-derives/validates ALL of these on device from
+    # the raw bytes below (ops/ed25519.bind_witness), so they are unbound
+    # witness hints only in the sense that a wrong value fails verification.
     table_x: jnp.ndarray
     table_y: jnp.ndarray
     table_t: jnp.ndarray
     bits2: jnp.ndarray
     rx: jnp.ndarray
     ry: jnp.ndarray
+    # Raw signature/pubkey bytes the binding checks derive from. sig_pubkeys
+    # is the key each lane's signature verifies under: the validator's own
+    # key for signed lanes (enforced on device), the dummy key otherwise.
+    sig_r: jnp.ndarray  # (B, 32) u8
+    sig_s: jnp.ndarray  # (B, 32) u8
+    sig_pubkeys: jnp.ndarray  # (B, 32) u8
+    k_q: jnp.ndarray  # (B, 20) u32 mod-L quotient witness
 
 
 def pack_validator_lanes(lanes: list[ValidatorData]) -> ValidatorLanes:
     B = len(lanes)
     pks, msgs, sigs = signature_lanes(lanes)
     table_x, table_y, table_t, bits2, rx, ry = ed25519.prepare_batch(pks, msgs, sigs)
+    sig_r, sig_s, sig_pk, k_q = ed25519.prepare_binding(pks, msgs, sigs)
     leaf = np.zeros((B, 1 + VALIDATOR_BYTE_LENGTH_MAX), dtype=np.uint8)
     leaf_len = np.zeros((B,), dtype=np.uint32)
     msg_arr = np.zeros((B, VALIDATOR_MESSAGE_BYTES_LENGTH_MAX), dtype=np.uint8)
@@ -116,6 +127,10 @@ def pack_validator_lanes(lanes: list[ValidatorData]) -> ValidatorLanes:
         bits2=bits2,
         rx=rx,
         ry=ry,
+        sig_r=sig_r,
+        sig_s=sig_s,
+        sig_pubkeys=sig_pk,
+        k_q=k_q,
     )
 
 

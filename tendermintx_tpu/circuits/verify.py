@@ -77,17 +77,28 @@ def _u64_pair(x):
 
 def _lanes_checks(lanes, nb, round_, height_lo, height_hi, header_hash):
     """Checks shared by step and skip (reference verify_header,
-    verify.rs:224-334): signatures, message contents, enabled-lane shape,
-    validators-hash recomputation, 2/3 voting power."""
+    verify.rs:224-334): signatures (with full on-device witness binding —
+    challenge SHA-512, Straus table, scalar bits all derived/validated from
+    the raw bytes), message contents, enabled-lane shape, validators-hash
+    recomputation, 2/3 voting power."""
     B = lanes.pubkeys.shape[0]
     sig_ok = jnp.all(
-        ed25519.straus_verify(
-            lanes.table_x, lanes.table_y, lanes.table_t, lanes.bits2, lanes.rx, lanes.ry
+        ed25519.verify_bound(
+            lanes.table_x, lanes.table_y, lanes.table_t, lanes.bits2,
+            lanes.rx, lanes.ry, lanes.sig_r, lanes.sig_s, lanes.sig_pubkeys,
+            lanes.messages, lanes.msg_len, lanes.k_q,
         )
+    )
+    # signed lanes must verify under the validator's own pubkey; the dummy
+    # triple is only legal for unsigned lanes (conditional-verification
+    # semantics of curta_eddsa_verify_sigs_conditional, verify.rs:248-259)
+    pk_ok = jnp.all(
+        ~lanes.signed | g.bytes_equal(lanes.sig_pubkeys, lanes.pubkeys)
     )
     msg_ok = jnp.all(
         g.message_checks(
             lanes.messages,
+            lanes.msg_len,
             lanes.signed,
             round_,
             (height_lo, height_hi),
@@ -97,6 +108,7 @@ def _lanes_checks(lanes, nb, round_, height_lo, height_hi, header_hash):
     lane_shape_ok = jnp.all(
         lanes.enabled == (jnp.arange(B) < nb)
     ) & jnp.all(~lanes.signed | lanes.enabled)
+    sig_ok = sig_ok & pk_ok
     leaf_digests = g.hash_validator_leaves(lanes.leaf_bytes, lanes.leaf_len)
     computed_vhash = g.merkle_root_dynamic(leaf_digests, nb)
     threshold_ok = g.voting_threshold_ok(

@@ -347,6 +347,207 @@ straus_verify_jit = jax.jit(straus_verify)
 
 
 # ---------------------------------------------------------------------------
+# Device witness binding: table / bits2 / R derivation checks
+#
+# straus_verify consumes host-precomputed tables and scalar bits; these
+# checks re-derive (or verify) every one of those inputs ON DEVICE from the
+# raw (pubkey, message, signature) bytes, so the exported verification
+# program accepts no unbound witness data. Counterpart of the in-gadget
+# derivations inside the reference's `curta_eddsa_verify_sigs_conditional`
+# (/root/reference/circuits/builder/verify.rs:248-259) and the challenge
+# computation in conversion.rs:22-56.
+# ---------------------------------------------------------------------------
+
+
+_P_LIMBS = int_to_limbs(P25519)
+_L_LIMBS = int_to_limbs(L_ORDER)
+_D_LIMBS = int_to_limbs(D_ED)
+_ONE_LIMBS = int_to_limbs(1)
+BASE_T = BASE_POINT[0] * BASE_POINT[1] % P25519
+_BX_LIMBS = int_to_limbs(BASE_POINT[0])
+_BY_LIMBS = int_to_limbs(BASE_POINT[1])
+_BT_LIMBS = int_to_limbs(BASE_T)
+
+
+def bytes_le_to_limbs(data, n_limbs: int, n_bits: int | None = None):
+    """(B, nbytes) uint8 little-endian integer -> (B, n_limbs) 13-bit limbs.
+    Bits at/above n_bits are dropped (e.g. the sign bit of a compressed
+    point)."""
+    B, nbytes = data.shape
+    total_bits = n_limbs * LIMB_BITS
+    shifts = jnp.arange(8, dtype=jnp.uint32)
+    bits = ((data[:, :, None].astype(jnp.uint32) >> shifts[None, None, :]) & 1).reshape(
+        B, nbytes * 8
+    )
+    if n_bits is not None and n_bits < nbytes * 8:
+        mask = (jnp.arange(nbytes * 8) < n_bits).astype(jnp.uint32)
+        bits = bits * mask[None, :]
+    if nbytes * 8 < total_bits:
+        bits = jnp.pad(bits, ((0, 0), (0, total_bits - nbytes * 8)))
+    else:
+        bits = bits[:, :total_bits]
+    w = (jnp.uint32(1) << jnp.arange(LIMB_BITS, dtype=jnp.uint32))
+    return (
+        (bits.reshape(B, n_limbs, LIMB_BITS) * w[None, None, :])
+        .sum(axis=-1)
+        .astype(jnp.uint32)
+    )
+
+
+def _lt_const(a, c_limbs) -> jnp.ndarray:
+    """a < c for canonical base-2^13 limb arrays (a: (B, n), c constant)."""
+    n = a.shape[-1]
+    c = jnp.asarray(np.asarray(c_limbs, dtype=np.uint32))
+    # derive the initial borrow from `a` so its sharding/varying type matches
+    # the loop body's output under shard_map
+    borrow0 = a[..., 0] * 0
+
+    def step(i, borrow):
+        d = a[..., i] + (1 << LIMB_BITS) - c[i] - borrow
+        return (d >> LIMB_BITS) ^ 1
+
+    borrow = jax.lax.fori_loop(0, n, step, borrow0)
+    return borrow == 1
+
+
+def on_curve(x, y) -> jnp.ndarray:
+    """-x^2 + y^2 == 1 + d x^2 y^2 over GF(2^255-19), batched."""
+    x2 = fmul(x, x)
+    y2 = fmul(y, y)
+    lhs = fsub(y2, x2)
+    d = jnp.broadcast_to(jnp.asarray(_D_LIMBS), x.shape)
+    one = jnp.broadcast_to(jnp.asarray(_ONE_LIMBS), x.shape)
+    rhs = fadd(one, fmul(fmul(d, x2), y2))
+    return feq(lhs, rhs)
+
+
+def _bits_to_limbs(bits, n_limbs: int = N_LIMBS):
+    """bits: (B, 253) in {0,1}, MSB-first (entry i = bit 252-i).
+    Recompose into canonical 13-bit limbs."""
+    pos = 252 - np.arange(N_BITS)
+    W = np.zeros((N_BITS, n_limbs), dtype=np.uint32)
+    W[np.arange(N_BITS), pos // LIMB_BITS] = np.uint32(1) << (pos % LIMB_BITS)
+    return (bits[:, :, None] * jnp.asarray(W)[None, :, :]).sum(axis=1).astype(
+        jnp.uint32
+    )
+
+
+def _mul_add_int(q, c_limbs, k):
+    """Exact integer q*c + k in base-2^13 limbs (no mod-p folding).
+    q: (B, 20) 13-bit limbs; c: (20,) constant; k: (B, 20). -> (B, 40)
+    fully carried."""
+    B = q.shape[0]
+    c = jnp.asarray(np.asarray(c_limbs, dtype=np.uint32))
+    acc = jnp.zeros((B, 2 * N_LIMBS), jnp.uint32)
+    for i in range(N_LIMBS):
+        acc = acc.at[:, i : i + N_LIMBS].add(q[:, i : i + 1] * c[None, :])
+    acc = acc.at[:, :N_LIMBS].add(k)
+    return _carry40(acc)
+
+
+def bind_witness(
+    table_x, table_y, table_t, bits2, rx, ry,
+    sig_r, sig_s, sig_pk, digest_bytes, k_q,
+):
+    """Per-lane device check that the Straus witness is exactly the one
+    derived from (sig_pk, message, signature).
+
+    sig_r/sig_s: (B, 32) uint8 signature halves; sig_pk: (B, 32) uint8
+    compressed public key; digest_bytes: (B, 64) uint8 SHA-512(R‖A‖M)
+    digest (computed on device by the caller); k_q: (B, 20) witness
+    quotient limbs for the mod-L reduction of the challenge.
+    Returns (B,) bool."""
+    B = rx.shape[0]
+    ok = jnp.ones((B,), bool)
+
+    # 0. limb/bit ranges on every witness array
+    ok &= jnp.all(table_x <= LIMB_MASK, axis=(1, 2))
+    ok &= jnp.all(table_y <= LIMB_MASK, axis=(1, 2))
+    ok &= jnp.all(table_t <= LIMB_MASK, axis=(1, 2))
+    ok &= jnp.all(rx <= LIMB_MASK, axis=1)
+    ok &= jnp.all(ry <= LIMB_MASK, axis=1)
+    ok &= jnp.all(k_q <= LIMB_MASK, axis=1)
+    ok &= jnp.all(bits2 <= 3, axis=1)
+
+    # 1. R binding: ry is the canonical 255-bit y of sig_r, rx has the
+    #    encoded parity and (rx, ry) is on the curve (RFC 8032 decompression
+    #    re-checked, not re-done: the witness supplies x, we verify it).
+    y_r = bytes_le_to_limbs(sig_r, N_LIMBS, n_bits=255)
+    sign_r = (sig_r[:, 31] >> 7).astype(jnp.uint32)
+    ok &= _lt_const(y_r, _P_LIMBS)
+    ok &= feq(ry, y_r)
+    ok &= on_curve(rx, ry)
+    crx = to_canonical(rx)
+    ok &= (crx[:, 0] & 1) == sign_r
+
+    # 2. Straus table binding: [identity, B, -A, B + (-A)]
+    zero = jnp.zeros_like(rx)
+    one = jnp.broadcast_to(jnp.asarray(_ONE_LIMBS), rx.shape)
+    bx = jnp.broadcast_to(jnp.asarray(_BX_LIMBS), rx.shape)
+    by = jnp.broadcast_to(jnp.asarray(_BY_LIMBS), rx.shape)
+    bt = jnp.broadcast_to(jnp.asarray(_BT_LIMBS), rx.shape)
+    ok &= feq(table_x[:, 0], zero) & feq(table_y[:, 0], one)
+    ok &= feq(table_x[:, 1], bx) & feq(table_y[:, 1], by)
+    for j in range(4):
+        ok &= feq(table_t[:, j], fmul(table_x[:, j], table_y[:, j]))
+    # slot 2 = -A: y from the pubkey bytes; negation flips the x parity
+    y_a = bytes_le_to_limbs(sig_pk, N_LIMBS, n_bits=255)
+    sign_a = (sig_pk[:, 31] >> 7).astype(jnp.uint32)
+    ok &= _lt_const(y_a, _P_LIMBS)
+    ok &= feq(table_y[:, 2], y_a)
+    ok &= on_curve(table_x[:, 2], table_y[:, 2])
+    c2x = to_canonical(table_x[:, 2])
+    x2_zero = jnp.all(c2x == 0, axis=1)
+    ok &= jnp.where(x2_zero, sign_a == 0, (c2x[:, 0] & 1) == (1 - sign_a))
+    # slot 3 = slot1 + slot2, checked projectively via unified mixed add
+    X3, Y3, Z3, _T3 = _pt_madd(bx, by, one, bt, table_x[:, 2], table_y[:, 2], table_t[:, 2])
+    ok &= feq(fmul(table_x[:, 3], Z3), X3)
+    ok &= feq(fmul(table_y[:, 3], Z3), Y3)
+
+    # 3. s binding: recompose the s-bits of bits2, compare to sig_s; s < L
+    s_limbs = bytes_le_to_limbs(sig_s, N_LIMBS)
+    ok &= _lt_const(s_limbs, _L_LIMBS)
+    s_rec = _bits_to_limbs(bits2 & 1)
+    ok &= jnp.all(s_rec == s_limbs, axis=1)
+
+    # 4. challenge binding: h = SHA-512(R‖A‖M) as a little-endian integer
+    #    must equal k_q * L + k with k < L, where k is recomposed from the
+    #    k-bits of bits2 — i.e. k = h mod L, verified without division.
+    h_limbs = bytes_le_to_limbs(digest_bytes, 2 * N_LIMBS)
+    k_rec = _bits_to_limbs((bits2 >> 1) & 1)
+    ok &= _lt_const(k_rec, _L_LIMBS)
+    lhs = _mul_add_int(k_q, _L_LIMBS, k_rec)
+    ok &= jnp.all(lhs == h_limbs, axis=1)
+    return ok
+
+
+def verify_bound(
+    table_x, table_y, table_t, bits2, rx, ry,
+    sig_r, sig_s, sig_pk, messages, msg_len, k_q,
+):
+    """Full device verification: derive the SHA-512 challenge from the raw
+    bytes, bind every witness array, then run the Straus ladder.
+
+    messages: (B, max_len) uint8 zero-padded; msg_len: (B,) uint32. The
+    digest input R‖A‖M is assembled on device so the verified message is
+    exactly the lane's message buffer."""
+    from . import sha512 as sha512mod
+
+    data = jnp.concatenate([sig_r, sig_pk, messages], axis=1)
+    byte_len = msg_len.astype(jnp.uint32) + 64
+    max_total = 64 + messages.shape[1]
+    n_blocks = (max_total + 17 + 127) // 128
+    d_lo, d_hi = sha512mod.sha512_bytes_var(data, byte_len, n_blocks)
+    digest_bytes = sha512mod.digest_words_to_bytes_dev(d_lo, d_hi)
+    bound = bind_witness(
+        table_x, table_y, table_t, bits2, rx, ry,
+        sig_r, sig_s, sig_pk, digest_bytes, k_q,
+    )
+    ladder = straus_verify(table_x, table_y, table_t, bits2, rx, ry)
+    return bound & ladder
+
+
+# ---------------------------------------------------------------------------
 # Host-side batch preparation + end-to-end entry point
 # ---------------------------------------------------------------------------
 
@@ -397,7 +598,48 @@ def prepare_batch(pubkeys: list[bytes], msgs: list[bytes], sigs: list[bytes]):
     )
 
 
+def prepare_binding(pubkeys: list[bytes], msgs: list[bytes], sigs: list[bytes]):
+    """Host prep of the binding inputs: raw signature halves, pubkey bytes,
+    and the mod-L quotient witness for the challenge reduction."""
+    B = len(pubkeys)
+    sig_r = np.zeros((B, 32), dtype=np.uint8)
+    sig_s = np.zeros((B, 32), dtype=np.uint8)
+    sig_pk = np.zeros((B, 32), dtype=np.uint8)
+    k_q = np.zeros((B, N_LIMBS), dtype=np.uint32)
+    for i, (pk, msg, sig) in enumerate(zip(pubkeys, msgs, sigs)):
+        sig_r[i] = np.frombuffer(sig[:32], dtype=np.uint8)
+        sig_s[i] = np.frombuffer(sig[32:], dtype=np.uint8)
+        sig_pk[i] = np.frombuffer(pk, dtype=np.uint8)
+        h = int.from_bytes(hashlib.sha512(sig[:32] + pk + msg).digest(), "little")
+        k_q[i] = int_to_limbs(h // L_ORDER)
+    return (
+        jnp.asarray(sig_r),
+        jnp.asarray(sig_s),
+        jnp.asarray(sig_pk),
+        jnp.asarray(k_q),
+    )
+
+
 def verify_batch(pubkeys: list[bytes], msgs: list[bytes], sigs: list[bytes]):
     """End-to-end: returns np.ndarray of bool, one per lane."""
     args = prepare_batch(pubkeys, msgs, sigs)
     return np.asarray(straus_verify_jit(*args))
+
+
+def verify_batch_bound(
+    pubkeys: list[bytes], msgs: list[bytes], sigs: list[bytes], max_len: int = 124
+):
+    """End-to-end with full on-device witness binding (messages zero-padded
+    to max_len). Returns np.ndarray of bool, one per lane."""
+    args = prepare_batch(pubkeys, msgs, sigs)
+    sig_r, sig_s, sig_pk, k_q = prepare_binding(pubkeys, msgs, sigs)
+    B = len(msgs)
+    m = np.zeros((B, max_len), dtype=np.uint8)
+    mlen = np.zeros((B,), dtype=np.uint32)
+    for i, msg in enumerate(msgs):
+        m[i, : len(msg)] = np.frombuffer(msg, dtype=np.uint8)
+        mlen[i] = len(msg)
+    fn = jax.jit(verify_bound)
+    return np.asarray(
+        fn(*args, sig_r, sig_s, sig_pk, jnp.asarray(m), jnp.asarray(mlen), k_q)
+    )

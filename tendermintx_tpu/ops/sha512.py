@@ -157,6 +157,56 @@ def sha512_blocks(blk_lo, blk_hi, n_active):
 sha512_blocks_jit = jax.jit(sha512_blocks)
 
 
+def bytes_to_blocks512(data, byte_len, n_blocks: int):
+    """SHA-512-pad byte lanes on device (128-byte blocks).
+
+    data: (B, max_bytes) uint8 zero-right-padded; byte_len: (B,). Caller
+    guarantees byte_len <= n_blocks*128 - 17 per lane. Returns
+    (blk_lo, blk_hi (B, n_blocks, 16) uint32, n_active (B,))."""
+    B, max_bytes = data.shape
+    total = n_blocks * 128
+    buf = jnp.zeros((B, total), jnp.uint8)
+    buf = buf.at[:, :max_bytes].set(data)
+    idx = jnp.arange(total)[None, :]
+    buf = jnp.where(idx < byte_len[:, None], buf, 0).astype(jnp.uint8)
+    buf = jnp.where(idx == byte_len[:, None], jnp.uint8(0x80), buf)
+    n_active = (byte_len + 17 + 127) // 128
+    bitlen = byte_len.astype(jnp.uint32) * 8
+    # 16-byte big-endian length field; only the last 4 bytes can be nonzero
+    last = n_active * 128 - 4
+    for k in range(4):
+        shift = 8 * (3 - k)
+        byte_val = ((bitlen >> shift) & 0xFF).astype(jnp.uint8)
+        buf = buf.at[jnp.arange(B), last + k].set(byte_val)
+    b = buf.reshape(B, n_blocks, 16, 8).astype(jnp.uint32)
+    hi = (b[..., 0] << 24) | (b[..., 1] << 16) | (b[..., 2] << 8) | b[..., 3]
+    lo = (b[..., 4] << 24) | (b[..., 5] << 16) | (b[..., 6] << 8) | b[..., 7]
+    return lo, hi, n_active
+
+
+def sha512_bytes_var(data, byte_len, n_blocks: int):
+    """Variable-length SHA-512 of byte lanes -> ((B,8),(B,8)) word pairs."""
+    blk_lo, blk_hi, n_active = bytes_to_blocks512(data, byte_len, n_blocks)
+    return sha512_blocks(blk_lo, blk_hi, n_active)
+
+
+def digest_words_to_bytes_dev(d_lo, d_hi):
+    """(B,8)+(B,8) uint32 -> (B,64) uint8 big-endian digest bytes."""
+    B = d_lo.shape[0]
+
+    def split(x):
+        return jnp.stack(
+            [(x >> 24) & 0xFF, (x >> 16) & 0xFF, (x >> 8) & 0xFF, x & 0xFF],
+            axis=-1,
+        )
+
+    hi_b = split(d_hi)  # (B, 8, 4)
+    lo_b = split(d_lo)
+    return (
+        jnp.concatenate([hi_b, lo_b], axis=-1).astype(jnp.uint8).reshape(B, 64)
+    )
+
+
 def pad_messages(msgs: list[bytes], n_blocks: int | None = None):
     """SHA-512-pad; returns (blk_lo, blk_hi (B,n_blocks,16) uint32, n_active)."""
     padded = []

@@ -42,7 +42,8 @@ def sharded_lane_checks(mesh: Mesh):
     """Returns a jitted function over the full lane arrays that runs the
     signature + leaf-hash + voting checks with lanes sharded across the mesh.
 
-    fn(table_x, table_y, table_t, bits2, rx, ry, leaf_bytes, leaf_len,
+    fn(table_x, table_y, table_t, bits2, rx, ry, sig_r, sig_s, sig_pk,
+       messages, msg_len, k_q, leaf_bytes, leaf_len,
        vp_lo, vp_hi, signed, enabled)
       -> (all_sigs_ok (), leaf_digests (B, 32) [gathered],
           signed_power (lo, hi), total_power (lo, hi))
@@ -53,16 +54,21 @@ def sharded_lane_checks(mesh: Mesh):
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(lane,) * 12,
+        in_specs=(lane,) * 18,
         out_specs=(P(), lane, P(), P()),
     )
     def fn(
         table_x, table_y, table_t, bits2, rx, ry,
+        sig_r, sig_s, sig_pk, messages, msg_len, k_q,
         leaf_bytes, leaf_len, vp_lo, vp_hi, signed, enabled,
     ):
-        # per-shard: verify this chip's group of validator signatures
+        # per-shard: verify this chip's group of validator signatures with
+        # full on-device witness binding (challenge SHA-512 included)
         sig_ok_local = jnp.all(
-            ed25519.straus_verify(table_x, table_y, table_t, bits2, rx, ry)
+            ed25519.verify_bound(
+                table_x, table_y, table_t, bits2, rx, ry,
+                sig_r, sig_s, sig_pk, messages, msg_len, k_q,
+            )
         )
         sig_ok = jax.lax.pmin(
             sig_ok_local.astype(jnp.uint32), axis_name="lanes"

@@ -41,6 +41,7 @@ def test_sharded_lane_checks_matches_single(mesh):
     fn = sharded_lane_checks(mesh)
     sig_ok, digests, signed_power, total_power = fn(
         lv.table_x, lv.table_y, lv.table_t, lv.bits2, lv.rx, lv.ry,
+        lv.sig_r, lv.sig_s, lv.sig_pubkeys, lv.messages, lv.msg_len, lv.k_q,
         lv.leaf_bytes, lv.leaf_len, lv.vp_lo, lv.vp_hi, lv.signed, lv.enabled,
     )
     assert bool(sig_ok)
