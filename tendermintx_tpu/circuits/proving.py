@@ -59,9 +59,14 @@ class LeafProofBundle:
 
     def digests(self) -> list[bytes]:
         """The proven leaf digests, one per lane (from the public inputs)."""
+        from ..stark.sha256_air import PUB_PER_SEGMENT as PPS
+
         out = []
         for s in range(self.n_lanes):
-            words = [int(v) for v in self.proof.public_inputs[24 * s + 16 : 24 * s + 24]]
+            words = [
+                int(v)
+                for v in self.proof.public_inputs[PPS * s + 16 : PPS * s + 24]
+            ]
             out.append(digest_words_to_bytes(words))
         return out
 
@@ -95,12 +100,18 @@ def verify_leaf_bundle(
         return False
     if not verify(air, bundle.proof, config):
         return False
-    # bind: proof message words == the actual leaf bytes of each lane
+    # bind: proof message words == the actual leaf bytes of each lane, with
+    # every segment starting fresh (single-block leaves never chain)
+    from ..stark.sha256_air import PUB_PER_SEGMENT as PPS
+
     for s, lane in enumerate(lanes):
         block = pad_single_block(_leaf_bytes(lane))
         words = [
             int.from_bytes(block[4 * i : 4 * i + 4], "big") for i in range(16)
         ]
-        if [int(v) for v in bundle.proof.public_inputs[24 * s : 24 * s + 16]] != words:
+        got = [int(v) for v in bundle.proof.public_inputs[PPS * s : PPS * s + 16]]
+        if got != words:
+            return False
+        if int(bundle.proof.public_inputs[PPS * s + 24]) != 0:
             return False
     return True

@@ -286,6 +286,12 @@ class Air:
     def periodic_columns(self) -> list[list[int]]:
         return []
 
+    def validate_publics(self, publics) -> bool:
+        """Structural validity of (untrusted) public inputs. Overrides must
+        be total — called by the verifier before any other use of the
+        publics (public_columns may assume validated inputs)."""
+        return len(publics) == self.n_public
+
     def public_columns(self, publics: list[int], n_rows: int) -> list[list[int]]:
         """Full-length columns derived deterministically from the public
         inputs (e.g. per-segment message/digest words). Both sides build

@@ -37,6 +37,8 @@ def verify(air: Air, proof: StarkProof, config: StarkConfig = StarkConfig()) -> 
         return False
     if len(proof.public_inputs) != air.n_public:
         return False
+    if not air.validate_publics(list(proof.public_inputs)):
+        return False
 
     # --- transcript replay ---
     challenger = Challenger()

@@ -24,7 +24,7 @@ def test_trace_digest_matches_hashlib():
     for msg in (b"", b"abc", b"a" * 55, bytes(range(47))):
         block = pad_single_block(msg)
         _, publics = sha256_block_trace(block)
-        assert digest_words_to_bytes(publics[16:]) == hashlib.sha256(msg).digest()
+        assert digest_words_to_bytes(publics[16:24]) == hashlib.sha256(msg).digest()
 
 
 def test_sha256_stark_roundtrip():
@@ -88,10 +88,45 @@ def test_sha256_batch_validator_leaves():
     proof = prove(air, trace, publics, CFG)
     assert verify(air, proof, CFG)
     for i, leaf in enumerate(leaves):
-        got = digest_words_to_bytes(publics[24 * i + 16 : 24 * i + 24])
+        got = digest_words_to_bytes(publics[25 * i + 16 : 25 * i + 24])
         assert got == hashlib.sha256(leaf).digest()
     # cross-segment tamper: swap two segments' digests
     bad = list(publics)
-    bad[16:24], bad[40:48] = bad[40:48], bad[16:24]
+    bad[16:24], bad[41:49] = bad[41:49], bad[16:24]
     p2 = prove(air, trace, bad, CFG)
     assert not verify(air, p2, CFG)
+
+
+def test_multiblock_chained_digests():
+    """Merkle inner nodes (65 B) and validator messages (~120 B) span 2-3
+    blocks; the chained trace must reproduce hashlib digests."""
+    from tendermintx_tpu.stark.sha256_air import schedule_messages, sha256_batch_trace
+
+    msgs = [bytes(range(65)), b"m" * 119, b"x" * 124, b"abc"]
+    blocks, chain, spans = schedule_messages(msgs)
+    trace, publics = sha256_batch_trace(blocks, chain)
+    for m, (start, n) in zip(msgs, spans):
+        last = start + n - 1
+        got = digest_words_to_bytes(publics[25 * last + 16 : 25 * last + 24])
+        assert got == hashlib.sha256(m).digest()
+
+
+def test_multiblock_stark_roundtrip_and_chain_tamper():
+    from tendermintx_tpu.stark.sha256_air import schedule_messages, sha256_batch_trace
+
+    msgs = [bytes(range(65)), b"q" * 100]  # 2 + 2 blocks
+    blocks, chain, spans = schedule_messages(msgs)
+    trace, publics = sha256_batch_trace(blocks, chain)
+    air = Sha256Air(len(blocks))
+    proof = prove(air, trace, publics, CFG)
+    assert verify(air, proof, CFG)
+    # flipping a chain flag changes the claimed IV derivation: reject
+    bad = list(publics)
+    bad[25 * 1 + 24] = 0  # segment 1 claimed fresh instead of chained
+    p2 = prove(air, trace, bad, CFG)
+    assert not verify(air, p2, CFG)
+    # tampering an intermediate (non-final) digest public breaks chaining
+    bad2 = list(publics)
+    bad2[25 * 0 + 16] ^= 1
+    p3 = prove(air, trace, bad2, CFG)
+    assert not verify(air, p3, CFG)
