@@ -137,6 +137,7 @@ def prove_plan(
     aunt_map: dict[int, bytes],
     config: StarkConfig = DEFAULT_HASH_CONFIG,
     min_segments: int = 32,
+    transcript_seed: list[int] | None = None,
 ) -> StarkProof:
     """Prove every job in `plan`. data_map: bytes per data job; aunt_map:
     32-byte aunt per inner job with a free side. The trace is padded with
@@ -166,7 +167,7 @@ def prove_plan(
         chain.append(0)
     trace, publics = sha256_batch_trace(blocks, chain)
     air = Sha256Air(total)
-    return prove(air, trace, publics, config)
+    return prove(air, trace, publics, config, transcript_seed=transcript_seed)
 
 
 # ---------------------------------------------------------------------------
@@ -395,7 +396,8 @@ def _aunt_map_for(plan: Plan, root_jobs: list[tuple[int, list[bytes]]]) -> dict[
 
 
 def prove_skip_hashes(
-    inputs, config: StarkConfig = DEFAULT_HASH_CONFIG
+    inputs, config: StarkConfig = DEFAULT_HASH_CONFIG,
+    transcript_seed: list[int] | None = None,
 ) -> HashBundle:
     """inputs: fetcher.SkipInputs."""
     nb = inputs.nb_target_validators
@@ -421,7 +423,7 @@ def prove_skip_hashes(
             (h.tvh_leaf + 1, inputs.trusted_header_validators_hash_proof.aunts),
         ],
     )
-    proof = prove_plan(plan, data_map, aunt_map, config)
+    proof = prove_plan(plan, data_map, aunt_map, config, transcript_seed=transcript_seed)
     total = len(proof.public_inputs) // PUB_PER_SEGMENT
     return HashBundle(
         kind="skip", proof=proof, n_segments=total, nb=nb, nb_trusted=nbt
@@ -429,7 +431,8 @@ def prove_skip_hashes(
 
 
 def prove_step_hashes(
-    inputs, config: StarkConfig = DEFAULT_HASH_CONFIG
+    inputs, config: StarkConfig = DEFAULT_HASH_CONFIG,
+    transcript_seed: list[int] | None = None,
 ) -> HashBundle:
     """inputs: fetcher.StepInputs."""
     nb = inputs.nb_validators
@@ -455,7 +458,7 @@ def prove_step_hashes(
             ),
         ],
     )
-    proof = prove_plan(plan, data_map, aunt_map, config)
+    proof = prove_plan(plan, data_map, aunt_map, config, transcript_seed=transcript_seed)
     total = len(proof.public_inputs) // PUB_PER_SEGMENT
     return HashBundle(kind="step", proof=proof, n_segments=total, nb=nb, nb_trusted=0)
 
@@ -478,13 +481,14 @@ def verify_skip_hashes(
     target_header: bytes,
     target_height: int,
     config: StarkConfig = DEFAULT_HASH_CONFIG,
+    transcript_seed: list[int] | None = None,
 ) -> SkipHashFacts | None:
     if bundle.kind != "skip" or bundle.nb < 1 or bundle.nb_trusted < 1:
         return None
     air = Sha256Air(bundle.n_segments)
     if bundle.n_segments * SEGMENT_ROWS != bundle.proof.n_rows:
         return None
-    if not verify(air, bundle.proof, config):
+    if not verify(air, bundle.proof, config, transcript_seed=transcript_seed):
         return None
     plan, h = build_skip_plan(bundle.nb, bundle.nb_trusted)
     res = check_plan(plan, bundle.proof.public_inputs, bundle.n_segments)
@@ -540,13 +544,14 @@ def verify_step_hashes(
     next_header: bytes,
     next_height: int,
     config: StarkConfig = DEFAULT_HASH_CONFIG,
+    transcript_seed: list[int] | None = None,
 ) -> StepHashFacts | None:
     if bundle.kind != "step" or bundle.nb < 1:
         return None
     air = Sha256Air(bundle.n_segments)
     if bundle.n_segments * SEGMENT_ROWS != bundle.proof.n_rows:
         return None
-    if not verify(air, bundle.proof, config):
+    if not verify(air, bundle.proof, config, transcript_seed=transcript_seed):
         return None
     plan, h = build_step_plan(bundle.nb)
     res = check_plan(plan, bundle.proof.public_inputs, bundle.n_segments)

@@ -222,14 +222,41 @@ def permute(state: GF) -> GF:
 
 
 def hash_no_pad(inputs: GF) -> GF:
-    """Batched sponge hash: inputs (..., L) -> digest (..., 4). L static."""
+    """Batched sponge hash: inputs (..., L) -> digest (..., 4). L static.
+
+    The absorb loop over full-RATE chunks runs as ONE lax.scan step rolled
+    over L//RATE chunks: unrolling instead (the naive loop) inlines a full
+    permutation per chunk and makes XLA compile time linear in L — ~minutes
+    for the 2000-column STARK traces committed row-wise in ops/merkle.py."""
     L = inputs.shape[-1]
     batch_shape = inputs.shape[:-1]
     state = GF.zeros(batch_shape + (WIDTH,))
-    for i in range(0, L, RATE):
-        chunk = inputs[..., i : i + RATE]
-        n = chunk.shape[-1]
-        state = GF.concatenate([chunk, state[..., n:]], axis=-1)
+    n_full = L // RATE
+    if n_full >= 2:
+        chunks = inputs[..., : n_full * RATE]
+        lo = jnp.moveaxis(
+            chunks.lo.reshape(batch_shape + (n_full, RATE)), -2, 0
+        )
+        hi = jnp.moveaxis(
+            chunks.hi.reshape(batch_shape + (n_full, RATE)), -2, 0
+        )
+
+        def body(s, chunk):
+            s = GF.concatenate([chunk, s[..., RATE:]], axis=-1)
+            return permute(s), None
+
+        state, _ = jax.lax.scan(body, state, GF(lo, hi))
+        rest = inputs[..., n_full * RATE :]
+    elif n_full == 1:
+        chunk = inputs[..., :RATE]
+        state = GF.concatenate([chunk, state[..., RATE:]], axis=-1)
+        state = permute(state)
+        rest = inputs[..., RATE:]
+    else:
+        rest = inputs
+    tail = rest.shape[-1]
+    if tail:
+        state = GF.concatenate([rest, state[..., tail:]], axis=-1)
         state = permute(state)
     return state[..., :DIGEST]
 

@@ -127,6 +127,10 @@ class HostAlgebra:
         return HostVec([HostFelt((int(b) % P, 0)) for b in bits])
 
     @staticmethod
+    def vconst(vals):
+        return HostVec([HostFelt((int(v) % P, 0)) for v in vals])
+
+    @staticmethod
     def col_range(frame, offset_index: int, start: int, count: int):
         return HostVec(frame.rows[offset_index][start : start + count])
 
@@ -136,6 +140,23 @@ class HostAlgebra:
         for v in vecs:
             items.extend(v.items)
         return HostVec(items)
+
+    @staticmethod
+    def stack_len(vec) -> int:
+        return len(vec)
+
+    @staticmethod
+    def pad_stack(vec, out_len: int):
+        zero = HostFelt((0, 0))
+        items = list(vec.items) + [zero] * (out_len - len(vec))
+        return HostVec(items[:out_len])
+
+    @staticmethod
+    def shift_up(vec, r: int, out_len: int):
+        zero = HostFelt((0, 0))
+        items = [zero] * r + list(vec.items)
+        items = items + [zero] * (out_len - len(items))
+        return HostVec(items[:out_len])
 
 
 class DeviceAlgebra:
@@ -220,6 +241,48 @@ class DeviceAlgebra:
         return GF(lo, jnp.zeros_like(lo))
 
     @staticmethod
+    def vconst(vals):
+        """Arbitrary constant stack as a (k, 1) broadcastable array."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        v = [int(x) % P for x in vals]
+        lo = jnp.asarray(np.array([x & 0xFFFFFFFF for x in v], dtype=np.uint32))[:, None]
+        hi = jnp.asarray(np.array([x >> 32 for x in v], dtype=np.uint32))[:, None]
+        return GF(lo, hi)
+
+    @staticmethod
+    def stack_len(vec) -> int:
+        return vec.lo.shape[0]
+
+    @staticmethod
+    def pad_stack(vec, out_len: int):
+        import jax.numpy as jnp
+
+        k = vec.lo.shape[0]
+        if k == out_len:
+            return vec
+        pad = jnp.zeros((out_len - k,) + vec.lo.shape[1:], vec.lo.dtype)
+        return GF(
+            jnp.concatenate([vec.lo, pad], axis=0),
+            jnp.concatenate([vec.hi, pad], axis=0),
+        )
+
+    @staticmethod
+    def shift_up(vec, r: int, out_len: int):
+        import jax.numpy as jnp
+
+        keep = min(vec.lo.shape[0], out_len - r)
+        pre = jnp.zeros((r,) + vec.lo.shape[1:], vec.lo.dtype)
+        post = jnp.zeros(
+            (out_len - r - keep,) + vec.lo.shape[1:], vec.lo.dtype
+        )
+        return GF(
+            jnp.concatenate([pre, vec.lo[:keep], post], axis=0),
+            jnp.concatenate([pre, vec.hi[:keep], post], axis=0),
+        )
+
+    @staticmethod
     def col_range(frame, offset_index: int, start: int, count: int):
         rs = frame.rows_stacked
         return GF(
@@ -250,6 +313,10 @@ class Frame:
     # can take contiguous column ranges with one slice instead of stacking
     # felts bit by bit
     rows_stacked: object = None
+    # Per-proof extension-field challenges sampled between the main and aux
+    # commitments, exposed as 2*n_challenges BASE-field scalars (components
+    # c0, c1 of each challenge) lifted to the algebra. Degree 0 in x.
+    challenges: list = None
 
     @property
     def local(self):
@@ -261,6 +328,29 @@ class Frame:
 
     def at_offset(self, offset: int, air: "Air"):
         return self.rows[air.frame_offsets.index(offset)]
+
+
+def constraint_count(c) -> int:
+    """Constraints may be single felts/(N,)-vectors or stacked blocks
+    (HostVec / (K, N) GF); each block row is one constraint (own alpha
+    power). Prover and verifier flatten in identical order."""
+    if isinstance(c, HostVec):
+        return len(c)
+    if isinstance(c, HostFelt):
+        return 1
+    # device GF: (N,) single or (K, N) block
+    return c.lo.shape[0] if c.lo.ndim == 2 else 1
+
+
+def flatten_host_constraints(constraints) -> list:
+    """HostFelt list with blocks expanded, in order."""
+    out = []
+    for c in constraints:
+        if isinstance(c, HostVec):
+            out.extend(c.items)
+        else:
+            out.append(c)
+    return out
 
 
 class Air:
@@ -282,6 +372,13 @@ class Air:
     # the prover open the trace at z * g^k for each offset k (multi-row
     # frames, e.g. the SHA-256 message schedule's 16-row window).
     frame_offsets: list[int] = [0, 1]
+    # Two-phase commitment (lookup arguments, permutation checks): after the
+    # main trace is committed, the prover samples n_challenges extension
+    # challenges from the transcript, derives n_aux_cols auxiliary columns
+    # via aux_columns(), and commits them separately. Constraints see the
+    # frame over [main ‖ aux] columns plus the challenge components.
+    n_aux_cols: int = 0
+    n_challenges: int = 0
 
     def periodic_columns(self) -> list[list[int]]:
         return []
@@ -291,6 +388,12 @@ class Air:
         be total — called by the verifier before any other use of the
         publics (public_columns may assume validated inputs)."""
         return len(publics) == self.n_public
+
+    def aux_columns(self, trace, challenges: list[tuple[int, int]], publics):
+        """Phase-2 witness generation (prover side): given the main trace
+        (GF (n_cols, n) on device) and the sampled challenges, return the
+        auxiliary columns as GF (n_aux_cols, n)."""
+        raise NotImplementedError
 
     def public_columns(self, publics: list[int], n_rows: int) -> list[list[int]]:
         """Full-length columns derived deterministically from the public
@@ -321,16 +424,22 @@ class Air:
     def n_constraints(self) -> int:
         # Evaluate symbolically on host with zeros to count constraints.
         zero = HostFelt((0, 0))
+        total = self.n_cols + self.n_aux_cols
         frame = Frame(
-            rows=[[zero] * self.n_cols for _ in self.frame_offsets],
+            rows=[[zero] * total for _ in self.frame_offsets],
             public=[zero] * self.n_public,
             periodic=[zero] * len(self.periodic_columns()),
             public_cols=[zero] * self.n_public_cols,
+            challenges=[zero] * (2 * self.n_challenges),
         )
         alg = HostAlgebra()
-        return (
-            len(self.eval_first(frame, alg))
-            + len(self.eval_transition(frame, alg))
-            + len(self.eval_cyclic(frame, alg))
-            + len(self.eval_last(frame, alg))
+        return sum(
+            constraint_count(c)
+            for group in (
+                self.eval_first(frame, alg),
+                self.eval_transition(frame, alg),
+                self.eval_cyclic(frame, alg),
+                self.eval_last(frame, alg),
+            )
+            for c in group
         )

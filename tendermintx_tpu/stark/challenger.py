@@ -20,7 +20,10 @@ class Challenger:
 
     # -- observation --
     def observe_element(self, x: int):
-        assert 0 <= x < P
+        # Explicit raise (not assert): observed values may come from an
+        # untrusted proof, and asserts vanish under `python -O`.
+        if not 0 <= x < P:
+            raise ValueError(f"transcript element out of range: {x}")
         self._output.clear()
         self._input.append(x)
         if len(self._input) == ps.RATE:
@@ -34,7 +37,8 @@ class Challenger:
         self.observe_elements(list(x))
 
     def observe_digest(self, digest):
-        assert len(digest) == ps.DIGEST
+        if len(digest) != ps.DIGEST:
+            raise ValueError("bad digest length")
         self.observe_elements(digest)
 
     # -- sampling --

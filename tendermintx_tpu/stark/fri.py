@@ -310,6 +310,24 @@ def fri_verify(
     if len(proof.query_rounds) != config.n_queries:
         return False
 
+    if n_layers == 0:
+        # Zero fold layers (tiny trace: n <= final_poly_len << rate_bits).
+        # There is no committed FRI layer, so the DEEP binding is direct:
+        # the externally recomputed layer-0 value must equal the final
+        # polynomial evaluated at the query's domain point (ADVICE r1 —
+        # previously a structural completeness break).
+        w = nttmod.primitive_root_of_unity(n.bit_length() - 1)
+        for q, per_layer in zip(query_indices, proof.query_rounds):
+            if per_layer:
+                return False
+            pt = shift * pow(w, q, P) % P
+            acc = (0, 0)
+            for c in reversed(proof.final_poly):
+                acc = ext_add(ext_mul(acc, (pt, 0)), tuple(c))
+            if layer0_check is not None and not layer0_check(q, acc):
+                return False
+        return True
+
     inv2 = pow(2, P - 2, P)
     for q, per_layer in zip(query_indices, proof.query_rounds):
         if len(per_layer) != n_layers:

@@ -57,12 +57,16 @@ class StarkProof:
     public_inputs: list[int]
     trace_root: list[int]
     quotient_root: list[int]
-    # ood_trace[k][i]: column i evaluated at z * g^frame_offsets[k]
+    # ood_trace[k][i]: column i evaluated at z * g^frame_offsets[k], over
+    # [main ‖ aux] columns (n_cols + n_aux_cols entries per offset)
     ood_trace: list[list[tuple[int, int]]]
     ood_quotient: list[tuple[int, int]]
     fri_proof: FriProof
-    # index -> (trace_row, trace_path, quot_row, quot_path)
+    # index -> (trace_row, trace_path, aux_row, aux_path, quot_row,
+    # quot_path); aux_row/aux_path are [] when the AIR has no aux columns
     openings: dict
+    # phase-2 commitment root (None when the AIR has no aux columns)
+    aux_root: list[int] | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -108,8 +112,10 @@ def periodic_interpolant(pattern: tuple[int, ...]) -> list[int]:
 def _periodic_lde(pattern: tuple[int, ...], log_n: int, rate_bits: int, shift: int):
     """Evaluations of r(x^(n/p)) over the LDE domain, as numpy limb pairs.
 
-    x^(n/p) over the coset shift*<w_N> cycles with period p * 2^rate_bits,
-    so only that many evaluations are computed, then tiled."""
+    x^(n/p) over the coset shift*<w_N> cycles with period p * 2^rate_bits:
+    those are exactly the coset-LDE evals of the interpolant over
+    shift^(n/p) * <w_cycle> (root conventions agree: w_N^(n/p) = w_cycle),
+    computed on device and tiled."""
     p = len(pattern)
     assert p & (p - 1) == 0, "periodic pattern length must be a power of two"
     n = 1 << log_n
@@ -118,15 +124,11 @@ def _periodic_lde(pattern: tuple[int, ...], log_n: int, rate_bits: int, shift: i
     N = n << rate_bits
     cycle = p << rate_bits
     s_pow = pow(shift, n // p, P)
-    # w_N^(n/p) has order p * 2^rate_bits
-    w_cycle = pow(nttmod.primitive_root_of_unity(log_n + rate_bits), n // p, P)
-    vals = []
-    acc = s_pow
-    for _ in range(cycle):
-        vals.append(nttmod.eval_poly_ints(coeffs, acc))
-        acc = acc * w_cycle % P
-    full = [vals[i % cycle] for i in range(N)]
-    return from_int_array(np.array(full, dtype=object))
+    cg = GF.from_ints(np.array([coeffs], dtype=object))
+    ev = _chunk_lde_fn(rate_bits, s_pow)(cg).to_ints()[0]
+    reps = N // cycle
+    full = np.tile(np.array([int(v) for v in ev], dtype=object), reps)
+    return from_int_array(full)
 
 
 @lru_cache(maxsize=None)
@@ -195,6 +197,8 @@ def _air_cache_key(air):
         air.n_public,
         tuple(air.frame_offsets),
         air.constraint_degree,
+        air.n_aux_cols,
+        air.n_challenges,
         extra,
     )
 
@@ -218,9 +222,9 @@ def _build_quotient_fn(air, log_n: int, rate_bits: int):
     N = n << rate_bits
     blowup = 1 << rate_bits
     offsets = list(air.frame_offsets)
-    n_cols = air.n_cols
+    n_cols = air.n_cols + air.n_aux_cols
 
-    def f(trace_lde: GF, alpha_pows: GF2, pub: GF, periodic, public_cols, zinvs):
+    def f(trace_lde: GF, alpha_pows: GF2, pub: GF, periodic, public_cols, zinvs, chal: GF):
         # all offsets at once: (n_offsets, n_cols, N) rolled views
         stacked = GF(
             jnp.stack([jnp.roll(trace_lde.lo, -k * blowup, axis=1) for k in offsets]),
@@ -232,12 +236,14 @@ def _build_quotient_fn(air, log_n: int, rate_bits: int):
         ]
         alg = DeviceAlgebra(N)
         pub_felts = [pub[i : i + 1] for i in range(pub.shape[0])]
+        chal_felts = [chal[i : i + 1] for i in range(chal.shape[0])]
         frame = Frame(
             rows=rows,
             public=pub_felts,
             periodic=list(periodic),
             public_cols=list(public_cols),
             rows_stacked=stacked,
+            challenges=chal_felts,
         )
         groups = [
             (air.eval_first(frame, alg), zinvs[0]),
@@ -249,11 +255,14 @@ def _build_quotient_fn(air, log_n: int, rate_bits: int):
         # one wide mul by its zerofier inverse, then a single alpha-weighted
         # reduction over all K constraints (the naive per-constraint loop
         # costs ~600 wide field ops and dominates compile time).
+        def to_block(c):
+            return c if c.lo.ndim == 2 else GF(c.lo[None], c.hi[None])
+
         czi_parts = []
         for constraints, zi in groups:
             if not constraints:
                 continue
-            stacked = GF.stack(constraints, axis=0)  # (Kg, N)
+            stacked = GF.concatenate([to_block(c) for c in constraints], axis=0)
             zi_b = GF(zi.lo[None, :], zi.hi[None, :])
             czi_parts.append(stacked * zi_b)
         all_czi = GF.concatenate(czi_parts, axis=0)  # (K, N)
@@ -277,7 +286,7 @@ def _deep_compose_fn(air, log_n: int, rate_bits: int):
 def _build_deep_fn(air, log_n: int, rate_bits: int):
     """Jitted DEEP composition: per opening group, G(x) = sum_i beta_i T_i(x)
     (+ chunks in group 0), F = sum_g (G - G0_g) * inv(x - z_g)."""
-    n_cols = air.n_cols
+    n_cols = air.n_cols + air.n_aux_cols
     n_offsets = len(air.frame_offsets)
     N = 1 << (log_n + rate_bits)
 
@@ -422,9 +431,14 @@ def prove(
     trace_cols: GF,
     public_inputs: list[int],
     config: StarkConfig = StarkConfig(),
+    transcript_seed: list[int] | None = None,
 ) -> StarkProof:
     """trace_cols: (n_cols, n_rows) GF on device (row i = step i of the
-    computation). n_rows must be a power of two >= 4."""
+    computation). n_rows must be a power of two >= 4.
+
+    transcript_seed: optional field elements absorbed before the public
+    inputs — composite proofs chain their sub-proofs' transcripts through
+    this (the verifier must supply the same seed)."""
     n_cols, n = int(trace_cols.shape[0]), int(trace_cols.shape[1])
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
@@ -434,6 +448,8 @@ def prove(
     shift = config.shift
 
     challenger = Challenger()
+    if transcript_seed:
+        challenger.observe_elements(transcript_seed)
     challenger.observe_elements(public_inputs)
 
     # 1. Trace LDE + commit. Merkle rows are LDE rows: (N, n_cols).
@@ -443,7 +459,27 @@ def prove(
     )  # (N, n_cols)
     trace_tree = MerkleTree.build(trace_rows)
     challenger.observe_digest(trace_tree.root)
+
+    # 1b. Phase-2 (auxiliary) commitment: sample challenges from the
+    #     transcript, derive aux columns (lookup/permutation witnesses),
+    #     commit them separately.
+    challenges = [challenger.sample_ext() for _ in range(air.n_challenges)]
+    n_aux = air.n_aux_cols
+    if n_aux:
+        aux_cols = air.aux_columns(trace_cols, challenges, list(public_inputs))
+        assert tuple(aux_cols.shape) == (n_aux, n), aux_cols.shape
+        aux_coeffs, aux_lde = _trace_lde_fn(rate_bits, shift)(aux_cols)
+        aux_rows = GF(jnp.transpose(aux_lde.lo), jnp.transpose(aux_lde.hi))
+        aux_tree = MerkleTree.build(aux_rows)
+        challenger.observe_digest(aux_tree.root)
+        all_lde = GF.concatenate([trace_lde, aux_lde], axis=0)
+        all_coeffs = GF.concatenate([trace_coeffs, aux_coeffs], axis=0)
+    else:
+        aux_tree = None
+        all_lde = trace_lde
+        all_coeffs = trace_coeffs
     alpha = challenger.sample_ext()
+    n_total = n_cols + n_aux
 
     # 2. Constraint evaluation on the LDE domain (one jitted program).
     offsets = list(air.frame_offsets)
@@ -472,8 +508,14 @@ def prove(
     tz, fz, lz, cz = _zerofier_inverses(log_n, rate_bits, shift)
     zinvs = (_np_gf(fz), _np_gf(tz), _np_gf(cz), _np_gf(lz))
 
+    chal_components = [c for ch in challenges for c in ch]
+    chal_gf = (
+        GF.from_ints(np.array([v % P for v in chal_components], dtype=object))
+        if chal_components
+        else GF.zeros((0,))
+    )
     q_evals = _quotient_fn(air, log_n, rate_bits, shift)(
-        trace_lde, alpha_pows, pub_gf, periodic, public_cols, zinvs
+        all_lde, alpha_pows, pub_gf, periodic, public_cols, zinvs, chal_gf
     )
 
     # 3. Quotient -> coefficients -> split into degree-<n chunks -> commit.
@@ -506,12 +548,12 @@ def prove(
     g_trace = nttmod.primitive_root_of_unity(log_n)
     zpow = _zpowers_fn(_ext_scalar(z), n)
     gk = _np_gf(_gk_table(log_n, tuple(offsets)))
-    ood_dev = _ood_trace_fn(trace_coeffs, zpow, gk)  # (n_offsets, n_cols)
+    ood_dev = _ood_trace_fn(all_coeffs, zpow, gk)  # (n_offsets, n_total)
     od_c0, od_c1 = ood_dev.to_ints()
     ood_trace = [
         [
             (int(od_c0[ki][i]), int(od_c1[ki][i]))
-            for i in range(n_cols)
+            for i in range(n_total)
         ]
         for ki in range(len(offsets))
     ]
@@ -544,7 +586,7 @@ def prove(
         zk = ext_mul(z, (pow(g_trace, k, P), 0))
         row_betas = []
         G0 = (0, 0)
-        for i in range(n_cols):
+        for i in range(n_total):
             row_betas.append(b_pow)
             G0 = ext_add(G0, ext_mul(b_pow, ood_trace[gi][i]))
             b_pow = ext_mul(b_pow, beta)
@@ -564,7 +606,7 @@ def prove(
     chunks_gf2 = GF2.stack(chunk_ldes, axis=0)  # (n_chunks, N)
 
     F = _deep_compose_fn(air, log_n, rate_bits)(
-        trace_lde, chunks_gf2, betas_t_gf2, betas_q_gf2, g0s_gf2, invs_gf2
+        all_lde, chunks_gf2, betas_t_gf2, betas_q_gf2, g0s_gf2, invs_gf2
     )
 
     # 6. FRI low-degree proof (degree bound n on domain N).
@@ -572,6 +614,7 @@ def prove(
 
     # 7. Openings at the FRI query indices.
     trace_rows_host = trace_rows.to_ints()
+    aux_rows_host = aux_rows.to_ints() if n_aux else None
     quot_rows_host = quot_rows.to_ints()
     openings = {}
     for q in fri_proof.query_indices:
@@ -579,6 +622,8 @@ def prove(
             openings[q] = (
                 trace_rows_host[q].tolist(),
                 trace_tree.open(q),
+                aux_rows_host[q].tolist() if n_aux else [],
+                aux_tree.open(q) if n_aux else [],
                 quot_rows_host[q].tolist(),
                 quot_tree.open(q),
             )
@@ -592,6 +637,7 @@ def prove(
         ood_quotient=ood_quot,
         fri_proof=fri_proof,
         openings=openings,
+        aux_root=aux_tree.root if n_aux else None,
     )
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 
+from ..ops.goldilocks import P
 from .fri import FriProof
 from .prover import StarkProof
 
@@ -18,8 +19,18 @@ def _ints(xs):
     return [str(int(v)) for v in xs]
 
 
+def _felt(v) -> int:
+    """Range-validated field element — malformed proofs fail HERE, at
+    deserialization, not deep inside the verifier (ADVICE r1: don't rely on
+    asserts over proof-derived values)."""
+    x = int(v)
+    if not 0 <= x < P:
+        raise ValueError(f"field element out of range: {x}")
+    return x
+
+
 def _unints(xs):
-    return [int(v) for v in xs]
+    return [_felt(v) for v in xs]
 
 
 def _ext(v):
@@ -27,7 +38,7 @@ def _ext(v):
 
 
 def _unext(v):
-    return (int(v[0]), int(v[1]))
+    return (_felt(v[0]), _felt(v[1]))
 
 
 def fri_proof_to_dict(p: FriProof) -> dict:
@@ -52,7 +63,7 @@ def fri_proof_to_dict(p: FriProof) -> dict:
 
 def fri_proof_from_dict(d: dict) -> FriProof:
     return FriProof(
-        pow_nonce=int(d.get("pow_nonce", 0)),
+        pow_nonce=_felt(d.get("pow_nonce", 0)),
         layer_roots=[_unints(r) for r in d["layer_roots"]],
         final_poly=[_unext(c) for c in d["final_poly"]],
         query_rounds=[
@@ -72,10 +83,11 @@ def fri_proof_from_dict(d: dict) -> FriProof:
 
 def stark_proof_to_dict(p: StarkProof) -> dict:
     return {
-        "version": 1,
+        "version": 2,
         "n_rows": p.n_rows,
         "public_inputs": _ints(p.public_inputs),
         "trace_root": _ints(p.trace_root),
+        "aux_root": _ints(p.aux_root) if p.aux_root is not None else None,
         "quotient_root": _ints(p.quotient_root),
         "ood_trace": [[_ext(v) for v in per] for per in p.ood_trace],
         "ood_quotient": [_ext(v) for v in p.ood_quotient],
@@ -84,15 +96,18 @@ def stark_proof_to_dict(p: StarkProof) -> dict:
             str(idx): {
                 "trace_row": _ints(trow),
                 "trace_path": [_ints(s) for s in tpath],
+                "aux_row": _ints(arow),
+                "aux_path": [_ints(s) for s in apath],
                 "quot_row": _ints(qrow),
                 "quot_path": [_ints(s) for s in qpath],
             }
-            for idx, (trow, tpath, qrow, qpath) in p.openings.items()
+            for idx, (trow, tpath, arow, apath, qrow, qpath) in p.openings.items()
         },
     }
 
 
 def stark_proof_from_dict(d: dict) -> StarkProof:
+    aux_root = d.get("aux_root")
     return StarkProof(
         n_rows=int(d["n_rows"]),
         public_inputs=_unints(d["public_inputs"]),
@@ -105,11 +120,14 @@ def stark_proof_from_dict(d: dict) -> StarkProof:
             int(k): (
                 _unints(v["trace_row"]),
                 [_unints(s) for s in v["trace_path"]],
+                _unints(v.get("aux_row", [])),
+                [_unints(s) for s in v.get("aux_path", [])],
                 _unints(v["quot_row"]),
                 [_unints(s) for s in v["quot_path"]],
             )
             for k, v in d["openings"].items()
         },
+        aux_root=_unints(aux_root) if aux_root is not None else None,
     )
 
 

@@ -11,13 +11,34 @@ from ..ops import ntt as nttmod
 from ..ops.ext import ext_add, ext_inv, ext_mul, ext_pow, ext_sub
 from ..ops.goldilocks import P
 from ..ops.merkle import verify_opening
-from .air import Air, Frame, HostAlgebra, HostFelt
+from .air import Air, Frame, HostAlgebra, HostFelt, flatten_host_constraints
 from .challenger import Challenger
 from .fri import fri_verify
 from .prover import StarkConfig, StarkProof
 
 
-def verify(air: Air, proof: StarkProof, config: StarkConfig = StarkConfig()) -> bool:
+def verify(
+    air: Air,
+    proof: StarkProof,
+    config: StarkConfig = StarkConfig(),
+    transcript_seed: list[int] | None = None,
+) -> bool:
+    """False (never an exception) on any malformed or invalid proof: a
+    structurally broken StarkProof object — out-of-range elements, wrong
+    list shapes — must be indistinguishable from a cryptographically
+    invalid one (ADVICE r1)."""
+    try:
+        return _verify_inner(air, proof, config, transcript_seed)
+    except (ValueError, AssertionError, KeyError, IndexError, TypeError, OverflowError):
+        return False
+
+
+def _verify_inner(
+    air: Air,
+    proof: StarkProof,
+    config: StarkConfig,
+    transcript_seed: list[int] | None,
+) -> bool:
     n = proof.n_rows
     log_n = n.bit_length() - 1
     if 1 << log_n != n:
@@ -26,12 +47,14 @@ def verify(air: Air, proof: StarkProof, config: StarkConfig = StarkConfig()) -> 
     N = n << rate_bits
     shift = config.shift
     n_cols = air.n_cols
+    n_aux = air.n_aux_cols
+    n_total = n_cols + n_aux
     n_chunks = air.constraint_degree - 1
     offsets = list(air.frame_offsets)
 
     if len(proof.ood_trace) != len(offsets):
         return False
-    if any(len(per) != n_cols for per in proof.ood_trace):
+    if any(len(per) != n_total for per in proof.ood_trace):
         return False
     if len(proof.ood_quotient) != n_chunks:
         return False
@@ -39,11 +62,18 @@ def verify(air: Air, proof: StarkProof, config: StarkConfig = StarkConfig()) -> 
         return False
     if not air.validate_publics(list(proof.public_inputs)):
         return False
+    if (proof.aux_root is None) != (n_aux == 0):
+        return False
 
     # --- transcript replay ---
     challenger = Challenger()
+    if transcript_seed:
+        challenger.observe_elements(transcript_seed)
     challenger.observe_elements(proof.public_inputs)
     challenger.observe_digest(proof.trace_root)
+    challenges = [challenger.sample_ext() for _ in range(air.n_challenges)]
+    if n_aux:
+        challenger.observe_digest(proof.aux_root)
     alpha = challenger.sample_ext()
     challenger.observe_digest(proof.quotient_root)
     z = challenger.sample_ext()
@@ -89,6 +119,7 @@ def verify(air: Air, proof: StarkProof, config: StarkConfig = StarkConfig()) -> 
         public=[HostFelt((v % P, 0)) for v in proof.public_inputs],
         periodic=periodic_at_z,
         public_cols=public_cols_at_z,
+        challenges=[HostFelt((c % P, 0)) for ch in challenges for c in ch],
     )
     alg = HostAlgebra()
     z_pow_n = ext_pow(z, n)
@@ -107,7 +138,7 @@ def verify(air: Air, proof: StarkProof, config: StarkConfig = StarkConfig()) -> 
     lhs = (0, 0)
     a_pow = (1, 0)
     for _, constraints, zi in groups:
-        for c in constraints:
+        for c in flatten_host_constraints(constraints):
             lhs = ext_add(lhs, ext_mul(a_pow, ext_mul(c.v, zi)))
             a_pow = ext_mul(a_pow, alpha)
     rhs = (0, 0)
@@ -127,7 +158,7 @@ def verify(air: Air, proof: StarkProof, config: StarkConfig = StarkConfig()) -> 
         zk = ext_mul(z, (pow(g_trace, k, P), 0))
         terms = []
         G0 = (0, 0)
-        for i in range(n_cols):
+        for i in range(n_total):
             terms.append((b_pow, "trace", i))
             G0 = ext_add(G0, ext_mul(b_pow, tuple(proof.ood_trace[gi][i])))
             b_pow = ext_mul(b_pow, beta)
@@ -142,22 +173,29 @@ def verify(air: Air, proof: StarkProof, config: StarkConfig = StarkConfig()) -> 
 
     def layer0_check(idx: int, val: tuple[int, int]) -> bool:
         opening = proof.openings.get(idx)
-        if opening is None:
+        if opening is None or len(opening) != 6:
             return False
-        trace_row, trace_path, quot_row, quot_path = opening
+        trace_row, trace_path, aux_row, aux_path, quot_row, quot_path = opening
         if len(trace_row) != n_cols or len(quot_row) != 2 * n_chunks:
+            return False
+        if len(aux_row) != n_aux:
             return False
         if not verify_opening(proof.trace_root, idx, list(trace_row), trace_path):
             return False
+        if n_aux and not verify_opening(
+            proof.aux_root, idx, list(aux_row), aux_path
+        ):
+            return False
         if not verify_opening(proof.quotient_root, idx, list(quot_row), quot_path):
             return False
+        combined_row = list(trace_row) + list(aux_row)
         x = shift * pow(w_N, idx, P) % P
         total = (0, 0)
         for zk, terms, G0 in group_info:
             G = (0, 0)
             for b, kind, i in terms:
                 if kind == "trace":
-                    v = (trace_row[i] % P, 0)
+                    v = (combined_row[i] % P, 0)
                 else:
                     v = (quot_row[2 * i] % P, quot_row[2 * i + 1] % P)
                 G = ext_add(G, ext_mul(b, v))
