@@ -103,6 +103,24 @@ def cmd_prove(args) -> int:
         bundle = prove_validator_leaves(lanes)
         result["stark_leaf_proof"] = bundle.to_dict()
         print(f"proved validator-leaf SHA-256 STARK over {bundle.n_lanes} lanes")
+    if args.composite and result["valid"]:
+        from ..circuits.composite import (
+            prove_skip_composite,
+            prove_step_composite,
+        )
+
+        if artifact.circuit == "step":
+            cp = prove_step_composite(prev_block, prev_hash, inputs)
+        else:
+            cp = prove_skip_composite(
+                trusted_block, trusted_hash, target_block, inputs
+            )
+        result["composite_proof"] = cp.to_dict()
+        print(
+            f"proved composite {artifact.circuit} statement "
+            f"({cp.hash_bundle.n_segments} hash segments, "
+            f"{cp.n_ed_segments} signature segments)"
+        )
     if not result["valid"]:
         print("verification FAILED", file=sys.stderr)
     with open(args.out, "w") as f:
@@ -115,11 +133,39 @@ def cmd_verify(args) -> int:
     from ..circuits.proving import LeafProofBundle, verify_leaf_bundle
     from ..circuits.skip import decode_skip_input
     from ..circuits.step import decode_step_input
-    from ..inputs.fetcher import InputDataFetcher
 
     with open(args.proof) as f:
         result = json.load(f)
     input_bytes = bytes.fromhex(result["input"].removeprefix("0x"))
+
+    if "composite_proof" in result:
+        # Standalone verification: the composite proof plus the chain
+        # config is sufficient — no RPC/fixture witness refetch (the
+        # reference's gateway verifiedCall analog, TendermintX.sol:111-114).
+        from ..circuits.composite import (
+            CompositeProof,
+            verify_skip_composite,
+            verify_step_composite,
+        )
+        from ..circuits.config import TendermintConfig
+
+        cp = CompositeProof.from_dict(result["composite_proof"])
+        cfg = TendermintConfig(chain_id=result["chain"])
+        if cp.abi_inputs != input_bytes:
+            print("composite proof: INPUT MISMATCH")
+            return 1
+        if cp.kind == "step":
+            out = verify_step_composite(cp, cfg.chain_id)
+            header = out[2] if out else None
+        else:
+            out = verify_skip_composite(cp, cfg.chain_id, cfg.skip_max)
+            header = out[3] if out else None
+        ok = out is not None and result["output"] == "0x" + header.hex()
+        print(f"composite proof: {'OK' if ok else 'FAILED'}")
+        return 0 if ok else 1
+
+    from ..inputs.fetcher import InputDataFetcher
+
     fetcher = InputDataFetcher(fixture_path=args.fixture_path or "")
     max_validators = int(result["max_validators"])
     if result["circuit"] == "step":
@@ -172,6 +218,12 @@ def main(argv=None) -> int:
         "--stark",
         action="store_true",
         help="also produce the validator-leaf SHA-256 STARK proof",
+    )
+    pr.add_argument(
+        "--composite",
+        action="store_true",
+        help="produce the full composite proof (hash STARK + Ed25519 STARK "
+        "+ wiring), verifiable without refetching any witness data",
     )
     pr.set_defaults(fn=cmd_prove)
 

@@ -120,6 +120,12 @@ class OperatorConfig:
     # in `last_bundle` (submission of proofs on-chain goes through the
     # gateway in a real deployment)
     prove_stark: bool = False
+    # produce the FULL composite proof (hash STARK + Ed25519 STARK +
+    # wiring) with every update, verify it standalone, and gate head
+    # advancement on that verification rather than on the operator's own
+    # witness-mode validity bit (ADVICE r1: never submit on the native
+    # bit alone). Kept in `last_composite`.
+    prove_composite: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "OperatorConfig":
@@ -148,6 +154,7 @@ class TendermintXOperator:
                 skip_max=tm_config.skip_max,
             )
         self.last_bundle = None  # most recent LeafProofBundle (prove_stark)
+        self.last_composite = None  # most recent CompositeProof (prove_composite)
         self.step_circuit = StepCircuit(
             config.max_validators, tm_config, self.fetcher
         )
@@ -185,19 +192,62 @@ class TendermintXOperator:
         header = self.contract.header_hash(current)
         if target == current + 1:
             enc = encode_step_input(current, header)
-            if self.config.prove_stark:
+            if self.config.prove_composite:
+                out = self._prove_step_composite(current, header)
+            elif self.config.prove_stark:
                 out, self.last_bundle = self.step_circuit.run_with_proof(enc)
             else:
                 out = self.step_circuit.run(enc)
             self._submit_step(current, out)
             return ("step", current + 1)
         enc = encode_skip_input(current, header, target)
-        if self.config.prove_stark:
+        if self.config.prove_composite:
+            out = self._prove_skip_composite(current, header, target)
+        elif self.config.prove_stark:
             out, self.last_bundle = self.skip_circuit.run_with_proof(enc)
         else:
             out = self.skip_circuit.run(enc)
         self._submit_skip(current, target, out)
         return ("skip", target)
+
+    def _prove_step_composite(self, prev_block: int, prev_header: bytes) -> bytes:
+        """Prove + independently verify a composite step proof; the returned
+        header comes from the VERIFIER's output, so the head only advances
+        on a verified proof."""
+        from ..circuits.composite import (
+            prove_step_composite,
+            verify_step_composite,
+        )
+
+        inputs = self.fetcher.get_step_inputs(
+            prev_block, prev_header, self.config.max_validators
+        )
+        cp = prove_step_composite(prev_block, prev_header, inputs)
+        out = verify_step_composite(cp, self.tm_config.chain_id)
+        if out is None:
+            raise RuntimeError("composite step proof failed verification")
+        self.last_composite = cp
+        return out[2]
+
+    def _prove_skip_composite(
+        self, trusted_block: int, trusted_header: bytes, target_block: int
+    ) -> bytes:
+        from ..circuits.composite import (
+            prove_skip_composite,
+            verify_skip_composite,
+        )
+
+        inputs = self.fetcher.get_skip_inputs(
+            trusted_block, trusted_header, target_block, self.config.max_validators
+        )
+        cp = prove_skip_composite(trusted_block, trusted_header, target_block, inputs)
+        out = verify_skip_composite(
+            cp, self.tm_config.chain_id, self.tm_config.skip_max
+        )
+        if out is None:
+            raise RuntimeError("composite skip proof failed verification")
+        self.last_composite = cp
+        return out[3]
 
     def _submit_step(self, prev_block: int, next_header: bytes):
         if hasattr(self.contract, "step"):

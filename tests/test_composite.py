@@ -1,0 +1,163 @@
+"""One proof object for the whole step/skip statement (circuits/composite.py).
+
+The reference's deliverable is a single proof consumed via
+`ISuccinctGateway.verifiedCall` (/root/reference/contracts/src/
+TendermintX.sol:111-114). These slow tests prove a full synthetic-chain
+skip and step — hash STARK + Ed25519 STARK, Fiat-Shamir-chained — and check
+the composite verifier accepts exactly the true statement and rejects
+tampering anywhere: the ABI IO, the signer set, the messages, the proofs.
+"""
+
+import copy
+import tempfile
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from tendermintx_tpu.circuits.composite import (
+    CompositeProof,
+    parse_simple_validator,
+    prove_skip_composite,
+    prove_step_composite,
+    verify_skip_composite,
+    verify_step_composite,
+)
+from tendermintx_tpu.inputs.fetcher import InputDataFetcher, InputDataMode
+from tendermintx_tpu.inputs.testchain import TestChain
+
+CHAIN_ID = "composite-chain"
+SKIP_MAX = 100
+
+
+def _fetcher(n_validators=4, blocks=6):
+    chain = TestChain(n_validators=n_validators, chain_id=CHAIN_ID)
+    for _ in range(blocks):
+        chain.extend()
+    tmp = tempfile.mkdtemp(prefix="composite_fixtures_")
+    chain.write_fixtures(tmp)
+    return chain, InputDataFetcher(fixture_path=tmp, mode=InputDataMode.FIXTURE)
+
+
+def test_parse_simple_validator_strict():
+    enc = b"\x0a\x22\x0a\x20" + bytes(32) + b"\x10\x2a"
+    assert parse_simple_validator(enc) == (bytes(32), 42)
+    # multi-byte varint
+    enc2 = b"\x0a\x22\x0a\x20" + bytes(32) + b"\x10\xac\x02"
+    assert parse_simple_validator(enc2) == (bytes(32), 300)
+    # non-canonical varint (trailing zero septet)
+    assert parse_simple_validator(b"\x0a\x22\x0a\x20" + bytes(32) + b"\x10\xac\x00") is None
+    # truncated / wrong prefix / trailing bytes
+    assert parse_simple_validator(enc[:-1] ) is None
+    assert parse_simple_validator(b"\x0b" + enc[1:]) is None
+    assert parse_simple_validator(enc + b"\x00") is None
+
+
+def test_skip_composite_end_to_end():
+    chain, f = _fetcher()
+    trusted = chain.headers[1].hash()
+    target = chain.headers[5].hash()
+    inputs = f.get_skip_inputs(1, trusted, 5, max_validators=8)
+    proof = prove_skip_composite(1, trusted, 5, inputs)
+
+    # serialization round-trip, then verify from the proof object alone
+    proof2 = CompositeProof.from_dict(proof.to_dict())
+    out = verify_skip_composite(proof2, CHAIN_ID, SKIP_MAX)
+    assert out == (1, trusted, 5, target)
+
+    # statement tampering
+    assert verify_skip_composite(proof2, "other-chain", SKIP_MAX) is None
+    assert verify_skip_composite(proof2, CHAIN_ID, 3) is None  # skip too far
+
+    bad = copy.deepcopy(proof2)
+    bad.abi_output = bytes(32)
+    assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX) is None
+
+    # drop a signer: 4 equal-power validators -> 3/4 still >2/3, drop two -> fail
+    bad = copy.deepcopy(proof2)
+    bad.signers = bad.signers[:2]
+    assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX) is None
+
+    # duplicate a signer index (double counting) must fail
+    bad = copy.deepcopy(proof2)
+    bad.signers[1] = bad.signers[0]
+    assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX) is None
+
+    # tamper a signed message byte -> lane check fails
+    bad = copy.deepcopy(proof2)
+    m = bytearray(bad.signers[0].message)
+    m[20] ^= 1
+    bad.signers[0].message = bytes(m)
+    assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX) is None
+
+    # tamper the Ed25519 proof publics -> STARK verify fails
+    bad = copy.deepcopy(proof2)
+    bad.ed_proof.public_inputs[0] ^= 1
+    assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX) is None
+
+    # tamper the hash proof publics -> hash STARK verify fails
+    bad = copy.deepcopy(proof2)
+    bad.hash_bundle.proof.public_inputs[0] ^= 1
+    assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX) is None
+
+    # swapping in a different trusted header breaks the transcript chain
+    bad = copy.deepcopy(proof2)
+    tb, th, tgt = 1, bytearray(trusted), 5
+    th[0] ^= 1
+    from tendermintx_tpu.circuits.skip import encode_skip_input
+
+    bad.abi_inputs = encode_skip_input(tb, bytes(th), tgt)
+    assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX) is None
+
+
+def test_operator_composite_gate():
+    """prove_composite: the operator's head advance is gated on standalone
+    verification of the composite proof, not its own validity bit."""
+    from tendermintx_tpu.runtime.operator import (
+        MockContract,
+        OperatorConfig,
+        TendermintXOperator,
+    )
+
+    chain, f = _fetcher()
+    genesis = chain.headers[1].hash()
+    contract = MockContract(1, genesis, skip_max=SKIP_MAX)
+    op = TendermintXOperator(
+        OperatorConfig(
+            chain_id=CHAIN_ID, max_validators=8, prove_composite=True
+        ),
+        contract=contract,
+        fetcher=f,
+    )
+    result = op.tick(chain_tip=5)
+    assert result == ("skip", 5)
+    assert contract.latest_block() == 5
+    assert contract.header_hash(5) == chain.headers[5].hash()
+    cp = op.last_composite
+    assert cp is not None and cp.kind == "skip"
+    assert (
+        verify_skip_composite(cp, CHAIN_ID, SKIP_MAX)
+        == (1, genesis, 5, chain.headers[5].hash())
+    )
+
+
+def test_step_composite_end_to_end():
+    chain, f = _fetcher()
+    prev = chain.headers[3].hash()
+    nxt = chain.headers[4].hash()
+    inputs = f.get_step_inputs(3, prev, max_validators=8)
+    proof = prove_step_composite(3, prev, inputs)
+
+    proof2 = CompositeProof.from_dict(proof.to_dict())
+    out = verify_step_composite(proof2, CHAIN_ID)
+    assert out == (3, prev, nxt)
+
+    assert verify_step_composite(proof2, "other-chain") is None
+
+    bad = copy.deepcopy(proof2)
+    bad.abi_output = bytes(32)
+    assert verify_step_composite(bad, CHAIN_ID) is None
+
+    bad = copy.deepcopy(proof2)
+    bad.signers = bad.signers[:2]
+    assert verify_step_composite(bad, CHAIN_ID) is None

@@ -96,6 +96,37 @@ def test_cli_build_prove(tmp_path, chain_fixtures):
     assert result["valid"] is True
     assert result["output"] == "0x" + chain.headers[6].hash().hex()
 
+    # composite prove -> standalone verify (no fixture path: the verifier
+    # must need nothing beyond the proof file and the chain config)
+    comp_path = str(tmp_path / "composite.json")
+    r = subprocess.run(
+        [sys.executable, "-m", "tendermintx_tpu.runtime.cli", "prove",
+         "--artifact", build_dir, "--input", input_path, "--out", comp_path,
+         "--fixture-path", fix, "--composite"],
+        capture_output=True, text=True, env=env, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "tendermintx_tpu.runtime.cli", "verify",
+         "--proof", comp_path],
+        capture_output=True, text=True, env=env, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "composite proof: OK" in r.stdout
+    # tampered output header must fail standalone verification
+    with open(comp_path) as f:
+        tampered = json.load(f)
+    tampered["composite_proof"]["abi_output"] = "00" * 32
+    tam_path = str(tmp_path / "tampered.json")
+    with open(tam_path, "w") as f:
+        json.dump(tampered, f)
+    r = subprocess.run(
+        [sys.executable, "-m", "tendermintx_tpu.runtime.cli", "verify",
+         "--proof", tam_path],
+        capture_output=True, text=True, env=env, timeout=1200,
+    )
+    assert r.returncode == 1
+
 
 def test_operator_advances_mock_contract(chain_fixtures):
     chain, fix = chain_fixtures
