@@ -166,26 +166,38 @@ def fri_prove(
     pow_nonce = grind(pow_seed, config.proof_of_work_bits)
     challenger.observe_element(pow_nonce)
 
-    # Query phase.
+    # Query phase: per layer, gather the (i, i+N/2) values for ALL queries
+    # with one device indexing op and the sibling paths with one batched
+    # open — only the queried values/paths are ever fetched to host
+    # (full-layer to_ints made the TPU-relay prover latency-bound).
     query_indices = challenger.sample_indices(config.n_queries, n)
-    host_layers = [None] * len(trees)
+    idx_chain = list(query_indices)
+    layer_data = []
+    for l, tree in enumerate(trees):
+        half = (n >> l) // 2
+        i_list = [x % half for x in idx_chain]
+        j_list = [i + half for i in i_list]
+        both = jnp.asarray(i_list + j_list)
+        vals = layers[l][both]
+        vc0, vc1 = [a.tolist() for a in vals.to_ints()]
+        paths = tree.open_many(i_list + j_list)
+        layer_data.append((i_list, j_list, vc0, vc1, paths))
+        idx_chain = i_list
     query_rounds = []
-    for q in query_indices:
+    for qi in range(len(query_indices)):
         per_layer = []
-        idx = q
-        for l, tree in enumerate(trees):
-            size = n >> l
-            half = size // 2
-            i = idx % half
-            j = i + half
-            if host_layers[l] is None:
-                lc0, lc1 = layers[l].to_ints()
-                host_layers[l] = (lc0.tolist(), lc1.tolist())
-            lc0, lc1 = host_layers[l]
-            val_i = (lc0[i], lc1[i])
-            val_j = (lc0[j], lc1[j])
-            per_layer.append((val_i, val_j, tree.open(i), tree.open(j)))
-            idx = i
+        for l in range(len(trees)):
+            i_list, j_list, vc0, vc1, paths = layer_data[l]
+            nq = len(i_list)
+            i, j = i_list[qi], j_list[qi]
+            per_layer.append(
+                (
+                    (vc0[qi], vc1[qi]),
+                    (vc0[nq + qi], vc1[nq + qi]),
+                    paths[i],
+                    paths[j],
+                )
+            )
         query_rounds.append(per_layer)
 
     return FriProof(

@@ -612,21 +612,27 @@ def prove(
     # 6. FRI low-degree proof (degree bound n on domain N).
     fri_proof = fri_prove(F, challenger, config.fri, shift)
 
-    # 7. Openings at the FRI query indices.
-    trace_rows_host = trace_rows.to_ints()
-    aux_rows_host = aux_rows.to_ints() if n_aux else None
-    quot_rows_host = quot_rows.to_ints()
+    # 7. Openings at the FRI query indices: gather ONLY the queried rows on
+    #    device and fetch those (the full row matrices are n_total * N field
+    #    elements — full to_ints was the prover's host-transfer bottleneck).
+    qs = sorted(set(int(q) for q in fri_proof.query_indices))
+    qarr = jnp.asarray(qs)
+    trace_sel = trace_rows[qarr].to_ints()  # (n_q, n_cols)
+    aux_sel = aux_rows[qarr].to_ints() if n_aux else None
+    quot_sel = quot_rows[qarr].to_ints()
+    trace_paths = trace_tree.open_many(qs)
+    aux_paths = aux_tree.open_many(qs) if n_aux else None
+    quot_paths = quot_tree.open_many(qs)
     openings = {}
-    for q in fri_proof.query_indices:
-        if q not in openings:
-            openings[q] = (
-                trace_rows_host[q].tolist(),
-                trace_tree.open(q),
-                aux_rows_host[q].tolist() if n_aux else [],
-                aux_tree.open(q) if n_aux else [],
-                quot_rows_host[q].tolist(),
-                quot_tree.open(q),
-            )
+    for k_q, q in enumerate(qs):
+        openings[q] = (
+            trace_sel[k_q].tolist(),
+            trace_paths[q],
+            aux_sel[k_q].tolist() if n_aux else [],
+            aux_paths[q] if n_aux else [],
+            quot_sel[k_q].tolist(),
+            quot_paths[q],
+        )
 
     return StarkProof(
         n_rows=n,
