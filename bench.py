@@ -1,15 +1,21 @@
 """Benchmark driver: prints one JSON line for the round harness.
 
 Runs on whatever accelerator JAX finds (real TPU under the driver; set
-JAX_PLATFORMS=cpu to force CPU). North-star metric per BASELINE.json:
-Poseidon hashes/s/chip — the transcript/Merkle hash that dominates FRI
-commitment cost.
+JAX_PLATFORMS=cpu to force CPU). Metrics, most meaningful first:
 
-`vs_baseline` is measured against a documented proxy: the reference's
-plonky2 Poseidon runs ~1e6 hashes/s/core on server CPUs (plonky2 reports
-~1 us/permutation single-threaded), and the reference parallelizes over
-rayon without any accelerator support (SURVEY.md §2c). vs_baseline =
-our hashes/s/chip divided by 1e6.
+  * skip_composite_seconds — END-TO-END composite skip proof (hash STARK +
+    Ed25519 STARK + wiring) for a synthetic validator set; the BASELINE.md
+    north star. vs_baseline = 300 s (reference's published 4-10 min
+    mid-range, README.md:90) divided by our seconds — >1 means faster than
+    the reference.
+  * leaf_stark_seconds — 128-lane validator-leaf SHA-256 STARK.
+  * poseidon_hashes_per_s_per_chip, ntt_felts_per_s, merkle_leaves_per_s —
+    kernel throughputs (poseidon vs_baseline: plonky2's ~1e6 hashes/s/core).
+
+The primary line reports the deepest metric that completes within the time
+budget (TMX_BENCH_BUDGET seconds, default 1500); everything measured lands
+in "extras". TMX_BENCH_N sets the composite validator count (default 32;
+128 is the Celestia-scale target and needs a warm compile cache).
 """
 
 from __future__ import annotations
@@ -32,6 +38,14 @@ from tendermintx_tpu.ops import poseidon
 from tendermintx_tpu.ops.goldilocks import GF
 
 BASELINE_HASHES_PER_S = 1.0e6  # plonky2 Poseidon, one CPU core (proxy)
+BASELINE_PROOF_SECONDS = 300.0  # reference skip proof: 4-10 min published
+
+BUDGET = float(os.environ.get("TMX_BENCH_BUDGET", "1500"))
+_START = time.time()
+
+
+def _left() -> float:
+    return BUDGET - (time.time() - _START)
 
 
 def bench_poseidon(batch: int = 1 << 15, iters: int = 64, reps: int = 3) -> float:
@@ -71,18 +85,165 @@ def bench_poseidon(batch: int = 1 << 15, iters: int = 64, reps: int = 3) -> floa
     return batch * iters / times[len(times) // 2]
 
 
-def main():
-    hashes_per_s = bench_poseidon()
-    print(
-        json.dumps(
-            {
-                "metric": "poseidon_hashes_per_s_per_chip",
-                "value": round(hashes_per_s, 1),
-                "unit": "hashes/s",
-                "vs_baseline": round(hashes_per_s / BASELINE_HASHES_PER_S, 3),
-            }
+def bench_ntt(cols: int = 64, log_n: int = 16, rate_bits: int = 3, reps: int = 3) -> float:
+    """Batched iNTT + coset LDE throughput, field elements/s (input side)."""
+    import numpy as np
+
+    from tendermintx_tpu.ops import ntt as nttmod
+
+    n = 1 << log_n
+
+    @jax.jit
+    def run(x: GF):
+        coeffs = nttmod.intt(x)
+        lde = nttmod.coset_lde(coeffs, rate_bits, 7)
+        return jnp.sum(lde.lo, dtype=jnp.uint32) + jnp.sum(lde.hi, dtype=jnp.uint32)
+
+    def make(seed: int) -> GF:
+        lo = jnp.arange(cols * n, dtype=jnp.uint32).reshape(cols, n) + seed
+        return GF(lo, jnp.zeros_like(lo))
+
+    int(np.asarray(run(make(0))))
+    times = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        int(np.asarray(run(make(r + 1))))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return cols * n / times[len(times) // 2]
+
+
+def bench_merkle(log_leaves: int = 15, width: int = 64, reps: int = 3) -> float:
+    """Poseidon Merkle commit throughput, leaves/s (device tree build)."""
+    import numpy as np
+
+    from tendermintx_tpu.ops.merkle import MerkleTree
+
+    n = 1 << log_leaves
+
+    def make(seed: int) -> GF:
+        lo = (
+            jnp.arange(n * width, dtype=jnp.uint32).reshape(n, width)
+            + seed
         )
+        return GF(lo, jnp.zeros_like(lo))
+
+    MerkleTree.build(make(0)).root  # compile + sync
+    times = []
+    for r in range(reps):
+        rows = make(r + 1)
+        t0 = time.perf_counter()
+        MerkleTree.build(rows).root  # root fetch = 4-element sync
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return n / times[len(times) // 2]
+
+
+def bench_leaf_stark(lanes: int = 128) -> float:
+    """End-to-end 128-lane validator-leaf SHA-256 STARK: prove+verify s."""
+    from tendermintx_tpu.circuits.proving import (
+        prove_validator_leaves,
+        verify_leaf_bundle,
     )
+    from tendermintx_tpu.inputs.conversion import get_validator_data_from_block
+    from tendermintx_tpu.inputs.testchain import TestChain
+
+    chain = TestChain(n_validators=lanes, chain_id="bench-chain")
+    h = chain.extend()
+    lanes_data = get_validator_data_from_block(
+        chain.val_set, chain.commits[h], chain.chain_id, lanes
+    )
+    t0 = time.perf_counter()
+    bundle = prove_validator_leaves(lanes_data)
+    assert verify_leaf_bundle(bundle, lanes_data)
+    return time.perf_counter() - t0
+
+
+def bench_composite_skip(n_validators: int) -> float:
+    """The north star: full composite skip proof, prove+verify seconds."""
+    import tempfile
+
+    from tendermintx_tpu.circuits.composite import (
+        prove_skip_composite,
+        verify_skip_composite,
+    )
+    from tendermintx_tpu.inputs.fetcher import InputDataFetcher, InputDataMode
+    from tendermintx_tpu.inputs.testchain import TestChain
+
+    chain = TestChain(n_validators=n_validators, chain_id="bench-chain")
+    for _ in range(6):
+        chain.extend()
+    tmp = tempfile.mkdtemp(prefix="bench_fixtures_")
+    chain.write_fixtures(tmp)
+    f = InputDataFetcher(fixture_path=tmp, mode=InputDataMode.FIXTURE)
+    trusted = chain.headers[1].hash()
+    inputs = f.get_skip_inputs(1, trusted, 5, max_validators=n_validators)
+    t0 = time.perf_counter()
+    proof = prove_skip_composite(1, trusted, 5, inputs)
+    out = verify_skip_composite(proof, "bench-chain", 100_800)
+    dt = time.perf_counter() - t0
+    assert out is not None, "composite skip proof failed to verify"
+    return dt
+
+
+def main():
+    extras: dict = {}
+    primary = None
+
+    try:
+        hps = bench_poseidon()
+        extras["poseidon_hashes_per_s"] = round(hps, 1)
+        primary = {
+            "metric": "poseidon_hashes_per_s_per_chip",
+            "value": round(hps, 1),
+            "unit": "hashes/s",
+            "vs_baseline": round(hps / BASELINE_HASHES_PER_S, 3),
+        }
+    except Exception as e:  # noqa: BLE001 — record and move on
+        extras["poseidon_error"] = repr(e)
+
+    if _left() > 60:
+        try:
+            extras["ntt_felts_per_s"] = round(bench_ntt(), 1)
+        except Exception as e:  # noqa: BLE001
+            extras["ntt_error"] = repr(e)
+    if _left() > 60:
+        try:
+            extras["merkle_leaves_per_s"] = round(bench_merkle(), 1)
+        except Exception as e:  # noqa: BLE001
+            extras["merkle_error"] = repr(e)
+
+    if _left() > 300:
+        try:
+            dt = bench_leaf_stark()
+            extras["leaf_stark_128_seconds"] = round(dt, 1)
+            primary = {
+                "metric": "leaf_stark_128_seconds",
+                "value": round(dt, 1),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_PROOF_SECONDS / dt, 2),
+            }
+        except Exception as e:  # noqa: BLE001
+            extras["leaf_stark_error"] = repr(e)
+
+    if _left() > 300:
+        n = int(os.environ.get("TMX_BENCH_N", "32"))
+        try:
+            dt = bench_composite_skip(n)
+            extras[f"skip_composite_n{n}_seconds"] = round(dt, 1)
+            primary = {
+                "metric": f"skip_composite_n{n}_seconds",
+                "value": round(dt, 1),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_PROOF_SECONDS / dt, 2),
+            }
+        except Exception as e:  # noqa: BLE001
+            extras["composite_error"] = repr(e)
+
+    if primary is None:
+        primary = {"metric": "bench_failed", "value": 0, "unit": "", "vs_baseline": 0}
+    primary["extras"] = extras
+    print(json.dumps(primary))
 
 
 if __name__ == "__main__":

@@ -56,11 +56,13 @@ class MerkleTree:
         return int(self.dev_layers[0].shape[0])
 
     @classmethod
-    def build(cls, rows: GF) -> "MerkleTree":
-        """rows: (n_leaves, width) GF on device; n_leaves a power of two."""
+    def build(cls, rows: GF, leaf_fn=None) -> "MerkleTree":
+        """rows: (n_leaves, width) GF on device; n_leaves a power of two.
+        leaf_fn optionally overrides the leaf hash (e.g. the row-sharded
+        sponge from parallel/prover.py); it must equal hash_no_pad."""
         n = rows.shape[0]
         assert n & (n - 1) == 0, "n_leaves must be a power of two"
-        digests = [_leaf_hashes(rows)]
+        digests = [(leaf_fn or _leaf_hashes)(rows)]
         while digests[-1].shape[0] > 1:
             digests.append(_next_layer(digests[-1]))
         return cls(digests)

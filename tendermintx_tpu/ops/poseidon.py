@@ -230,7 +230,12 @@ def hash_no_pad(inputs: GF) -> GF:
     for the 2000-column STARK traces committed row-wise in ops/merkle.py."""
     L = inputs.shape[-1]
     batch_shape = inputs.shape[:-1]
-    state = GF.zeros(batch_shape + (WIDTH,))
+    # zero state derived from the input (not a constant): under shard_map a
+    # constant scan carry is "unvarying" over the mesh axis while the scan
+    # output varies, which jax rejects — input*0 inherits the varying axes
+    zlo = jnp.broadcast_to(inputs.lo[..., :1] * 0, batch_shape + (WIDTH,))
+    zhi = jnp.broadcast_to(inputs.hi[..., :1] * 0, batch_shape + (WIDTH,))
+    state = GF(zlo, zhi)
     n_full = L // RATE
     if n_full >= 2:
         chunks = inputs[..., : n_full * RATE]

@@ -1,0 +1,180 @@
+"""Sharded STARK proving over a device mesh (SURVEY.md §2c axes 2-4).
+
+The prover's heavy phases map onto a 1-D "lanes" mesh:
+
+  * trace/aux/quotient LDE — COLUMN-sharded shard_map (each NTT is
+    independent per column; no communication),
+  * constraint quotient — ROW-sharded over the LDE domain: each chip
+    evaluates all constraints on its block of domain points; multi-row
+    frames read up to max_offset*blowup rows past the block end, fetched
+    from the cyclic right neighbor with ONE lax.ppermute halo exchange
+    over ICI,
+  * DEEP composition — ROW-sharded (pointwise in the domain, no halo),
+  * Merkle leaf hashing — ROW-sharded (one sponge per row).
+
+The reference parallelizes the same phases across CPU cores with rayon
+inside `circuit.prove()` (/root/reference — plonky2 via Cargo.lock:2957)
+and has no multi-machine story; here the same proof bytes come out of a
+`jax.sharding.Mesh`, so a v5e slice scales the prover where the reference
+recompiles or waits.
+
+All functions return the SAME values as their single-chip counterparts in
+stark/prover.py — `prove(..., mesh=...)` produces byte-identical proofs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..ops import ntt as nttmod
+from ..ops import poseidon as ps
+from ..ops.ext import GF2
+from ..ops.goldilocks import GF
+
+
+def _mesh_size(mesh) -> int:
+    return int(mesh.devices.size)
+
+
+def _axis(mesh) -> str:
+    return mesh.axis_names[0]
+
+
+def _pad_rows(x: GF, mult: int) -> tuple[GF, int]:
+    """Pad axis 0 to a multiple of `mult` with zeros; returns (padded, orig)."""
+    c = int(x.shape[0])
+    extra = (-c) % mult
+    if extra:
+        z = jnp.zeros((extra,) + tuple(x.shape[1:]), x.lo.dtype)
+        x = GF(jnp.concatenate([x.lo, z]), jnp.concatenate([x.hi, z]))
+    return x, c
+
+
+def sharded_trace_lde(mesh, rate_bits: int, shift: int):
+    """Column-sharded (coeffs, lde) — the sharded analog of
+    stark.prover._trace_lde_fn. Pads the column count to the mesh size."""
+    D = _mesh_size(mesh)
+    ax = _axis(mesh)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(ax, None),
+        out_specs=(P(ax, None), P(ax, None)),
+    )
+    def fn(cols: GF):
+        coeffs = nttmod.intt(cols)
+        lde = nttmod.coset_lde(coeffs, rate_bits, shift)
+        return coeffs, lde
+
+    def wrapped(cols: GF):
+        padded, c = _pad_rows(cols, D)
+        coeffs, lde = fn(padded)
+        return coeffs[:c], lde[:c]
+
+    return wrapped
+
+
+def sharded_leaf_hashes(mesh):
+    """Row-sharded Merkle leaf hashing: rows (n_leaves, width) -> (n, 4)."""
+    ax = _axis(mesh)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(ax, None), out_specs=P(ax, None))
+    def fn(rows: GF) -> GF:
+        return ps.hash_no_pad(rows)
+
+    return jax.jit(fn)
+
+
+def sharded_quotient_fn(mesh, air, log_n: int, rate_bits: int):
+    """Row-sharded constraint quotient with a ppermute halo exchange.
+
+    Device d holds LDE columns [d*Nb, (d+1)*Nb); frame offset k reads row
+    x + k*blowup, so each device needs the first max_offset*blowup rows of
+    its right (cyclic) neighbor — one ppermute of that halo slab replaces
+    the single-chip jnp.roll."""
+    from ..stark.prover import _eval_quotient_core
+
+    D = _mesh_size(mesh)
+    ax = _axis(mesh)
+    n = 1 << log_n
+    N = n << rate_bits
+    blowup = 1 << rate_bits
+    offsets = list(air.frame_offsets)
+    halo = max(offsets) * blowup
+    Nb = N // D
+    assert halo <= Nb, "shard block smaller than the frame halo"
+    # send my leading slab to my LEFT neighbor (it is their right halo)
+    perm = [(i, (i - 1) % D) for i in range(D)]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, ax),  # trace+aux LDE (C, N)
+            P(None),      # alpha powers (replicated)
+            P(None),      # publics
+            P(ax),        # periodic LDEs (tuple of (N,))
+            P(ax),        # public-column LDEs
+            P(ax),        # zerofier inverses (4 x (N,))
+            P(None),      # challenges
+        ),
+        out_specs=P(ax),
+    )
+    def fn(lde_block, alpha_pows, pub, periodic, public_cols, zinvs, chal):
+        if halo:
+            lead_lo = jax.lax.ppermute(lde_block.lo[:, :halo], ax, perm)
+            lead_hi = jax.lax.ppermute(lde_block.hi[:, :halo], ax, perm)
+            ext_lo = jnp.concatenate([lde_block.lo, lead_lo], axis=1)
+            ext_hi = jnp.concatenate([lde_block.hi, lead_hi], axis=1)
+        else:
+            ext_lo, ext_hi = lde_block.lo, lde_block.hi
+        stacked = GF(
+            jnp.stack(
+                [ext_lo[:, k * blowup : k * blowup + Nb] for k in offsets]
+            ),
+            jnp.stack(
+                [ext_hi[:, k * blowup : k * blowup + Nb] for k in offsets]
+            ),
+        )
+        return _eval_quotient_core(
+            air, stacked, alpha_pows, pub, periodic, public_cols, zinvs, chal, Nb
+        )
+
+    return jax.jit(fn)
+
+
+def sharded_deep_fn(mesh, air, log_n: int, rate_bits: int):
+    """Row-sharded DEEP composition (pointwise in the domain)."""
+    from ..stark.prover import _deep_core
+
+    ax = _axis(mesh)
+    D = _mesh_size(mesh)
+    n_cols = air.n_cols + air.n_aux_cols
+    n_offsets = len(air.frame_offsets)
+    N = 1 << (log_n + rate_bits)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, ax),  # trace+aux LDE
+            P(None, ax),  # quotient chunk LDEs (ext)
+            P(None),      # betas_t
+            P(None),      # betas_q
+            P(None),      # g0s
+            P(None, ax),  # 1/(x - z_g) tables
+        ),
+        out_specs=P(ax),
+    )
+    def fn(trace_lde, chunks, betas_t, betas_q, g0s, invs):
+        return _deep_core(
+            trace_lde, chunks, betas_t, betas_q, g0s, invs,
+            n_cols, n_offsets, N // D,
+        )
+
+    return jax.jit(fn)

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import logging
+
 from ..ops import ntt as nttmod
 from ..ops.ext import GF2, ext_add, ext_inv, ext_mul, ext_pow, ext_sub
 from ..ops.goldilocks import GF, P, MULTIPLICATIVE_GENERATOR, from_int_array
@@ -31,6 +33,8 @@ from ..ops.merkle import MerkleTree
 from .air import Air, DeviceAlgebra, Frame, HostAlgebra, HostFelt
 from .challenger import Challenger
 from .fri import FriConfig, FriProof, fri_prove
+
+log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -230,48 +234,60 @@ def _build_quotient_fn(air, log_n: int, rate_bits: int):
             jnp.stack([jnp.roll(trace_lde.lo, -k * blowup, axis=1) for k in offsets]),
             jnp.stack([jnp.roll(trace_lde.hi, -k * blowup, axis=1) for k in offsets]),
         )
-        rows = [
-            [GF(stacked.lo[ki, i], stacked.hi[ki, i]) for i in range(n_cols)]
-            for ki in range(len(offsets))
-        ]
-        alg = DeviceAlgebra(N)
-        pub_felts = [pub[i : i + 1] for i in range(pub.shape[0])]
-        chal_felts = [chal[i : i + 1] for i in range(chal.shape[0])]
-        frame = Frame(
-            rows=rows,
-            public=pub_felts,
-            periodic=list(periodic),
-            public_cols=list(public_cols),
-            rows_stacked=stacked,
-            challenges=chal_felts,
+        return _eval_quotient_core(
+            air, stacked, alpha_pows, pub, periodic, public_cols, zinvs, chal, N
         )
-        groups = [
-            (air.eval_first(frame, alg), zinvs[0]),
-            (air.eval_transition(frame, alg), zinvs[1]),
-            (air.eval_cyclic(frame, alg), zinvs[2]),
-            (air.eval_last(frame, alg), zinvs[3]),
-        ]
-        # Vectorized combination: stack each group's constraints to (Kg, N),
-        # one wide mul by its zerofier inverse, then a single alpha-weighted
-        # reduction over all K constraints (the naive per-constraint loop
-        # costs ~600 wide field ops and dominates compile time).
-        def to_block(c):
-            return c if c.lo.ndim == 2 else GF(c.lo[None], c.hi[None])
-
-        czi_parts = []
-        for constraints, zi in groups:
-            if not constraints:
-                continue
-            stacked = GF.concatenate([to_block(c) for c in constraints], axis=0)
-            zi_b = GF(zi.lo[None, :], zi.hi[None, :])
-            czi_parts.append(stacked * zi_b)
-        all_czi = GF.concatenate(czi_parts, axis=0)  # (K, N)
-        a_lo = GF(alpha_pows.c0.lo[:, None], alpha_pows.c0.hi[:, None])
-        a_hi = GF(alpha_pows.c1.lo[:, None], alpha_pows.c1.hi[:, None])
-        q = GF2((a_lo * all_czi).sum(axis=0), (a_hi * all_czi).sum(axis=0))
-        return q
 
     return jax.jit(f)
+
+
+def _eval_quotient_core(
+    air, stacked: GF, alpha_pows: GF2, pub: GF, periodic, public_cols, zinvs, chal: GF, N: int
+):
+    """Constraint quotient from pre-gathered frame views. `stacked` is
+    (n_offsets, n_cols + n_aux, N_block) — the single-chip path builds it
+    with jnp.roll over the full domain; the sharded path (parallel/
+    prover.py) with a ppermute halo exchange over a row-sharded block."""
+    n_cols = air.n_cols + air.n_aux_cols
+    rows = [
+        [GF(stacked.lo[ki, i], stacked.hi[ki, i]) for i in range(n_cols)]
+        for ki in range(len(air.frame_offsets))
+    ]
+    alg = DeviceAlgebra(N)
+    pub_felts = [pub[i : i + 1] for i in range(pub.shape[0])]
+    chal_felts = [chal[i : i + 1] for i in range(chal.shape[0])]
+    frame = Frame(
+        rows=rows,
+        public=pub_felts,
+        periodic=list(periodic),
+        public_cols=list(public_cols),
+        rows_stacked=stacked,
+        challenges=chal_felts,
+    )
+    groups = [
+        (air.eval_first(frame, alg), zinvs[0]),
+        (air.eval_transition(frame, alg), zinvs[1]),
+        (air.eval_cyclic(frame, alg), zinvs[2]),
+        (air.eval_last(frame, alg), zinvs[3]),
+    ]
+    # Vectorized combination: stack each group's constraints to (Kg, N),
+    # one wide mul by its zerofier inverse, then a single alpha-weighted
+    # reduction over all K constraints (the naive per-constraint loop
+    # costs ~600 wide field ops and dominates compile time).
+    def to_block(c):
+        return c if c.lo.ndim == 2 else GF(c.lo[None], c.hi[None])
+
+    czi_parts = []
+    for constraints, zi in groups:
+        if not constraints:
+            continue
+        cstack = GF.concatenate([to_block(c) for c in constraints], axis=0)
+        zi_b = GF(zi.lo[None, :], zi.hi[None, :])
+        czi_parts.append(cstack * zi_b)
+    all_czi = GF.concatenate(czi_parts, axis=0)  # (K, N)
+    a_lo = GF(alpha_pows.c0.lo[:, None], alpha_pows.c0.hi[:, None])
+    a_hi = GF(alpha_pows.c1.lo[:, None], alpha_pows.c1.hi[:, None])
+    return GF2((a_lo * all_czi).sum(axis=0), (a_hi * all_czi).sum(axis=0))
 
 
 def _deep_compose_fn(air, log_n: int, rate_bits: int):
@@ -291,28 +307,37 @@ def _build_deep_fn(air, log_n: int, rate_bits: int):
     N = 1 << (log_n + rate_bits)
 
     def f(trace_lde: GF, chunks: GF2, betas_t: GF2, betas_q: GF2, g0s: GF2, invs: GF2):
-        # trace_lde: (n_cols, N); chunks: (n_chunks, N) ext
-        # betas_t: (n_offsets, n_cols) ext; betas_q: (n_chunks,) ext
-        # g0s: (n_offsets,) ext; invs: (n_offsets, N) ext
-        F = GF2.zeros((N,))
-        for gi in range(n_offsets):
-            # ext-scalar-per-column times base columns, summed over columns
-            bc0 = betas_t.c0[gi][:, None].broadcast_to((n_cols, N))
-            bc1 = betas_t.c1[gi][:, None].broadcast_to((n_cols, N))
-            G = GF2((bc0 * trace_lde).sum(axis=0), (bc1 * trace_lde).sum(axis=0))
-            if gi == 0:
-                n_chunks = chunks.shape[0]
-                qb = GF2(
-                    betas_q.c0[:, None].broadcast_to((n_chunks, N)),
-                    betas_q.c1[:, None].broadcast_to((n_chunks, N)),
-                )
-                G = G + (qb * chunks).sum(axis=0)
-            g0 = g0s[gi]
-            G = G - GF2(g0.c0.broadcast_to((N,)), g0.c1.broadcast_to((N,)))
-            F = F + G * invs[gi]
-        return F
+        return _deep_core(trace_lde, chunks, betas_t, betas_q, g0s, invs, n_cols, n_offsets, N)
 
     return jax.jit(f)
+
+
+def _deep_core(
+    trace_lde: GF, chunks: GF2, betas_t: GF2, betas_q: GF2, g0s: GF2, invs: GF2,
+    n_cols: int, n_offsets: int, N: int,
+):
+    """DEEP composition over an LDE block (pointwise in the domain, so the
+    sharded prover calls it per row-shard).
+    trace_lde: (n_cols, N); chunks: (n_chunks, N) ext;
+    betas_t: (n_offsets, n_cols) ext; betas_q: (n_chunks,) ext;
+    g0s: (n_offsets,) ext; invs: (n_offsets, N) ext."""
+    F = GF2.zeros((N,))
+    for gi in range(n_offsets):
+        # ext-scalar-per-column times base columns, summed over columns
+        bc0 = betas_t.c0[gi][:, None].broadcast_to((n_cols, N))
+        bc1 = betas_t.c1[gi][:, None].broadcast_to((n_cols, N))
+        G = GF2((bc0 * trace_lde).sum(axis=0), (bc1 * trace_lde).sum(axis=0))
+        if gi == 0:
+            n_chunks = chunks.shape[0]
+            qb = GF2(
+                betas_q.c0[:, None].broadcast_to((n_chunks, N)),
+                betas_q.c1[:, None].broadcast_to((n_chunks, N)),
+            )
+            G = G + (qb * chunks).sum(axis=0)
+        g0 = g0s[gi]
+        G = G - GF2(g0.c0.broadcast_to((N,)), g0.c1.broadcast_to((N,)))
+        F = F + G * invs[gi]
+    return F
 
 
 from functools import partial
@@ -432,13 +457,19 @@ def prove(
     public_inputs: list[int],
     config: StarkConfig = StarkConfig(),
     transcript_seed: list[int] | None = None,
+    mesh=None,
 ) -> StarkProof:
     """trace_cols: (n_cols, n_rows) GF on device (row i = step i of the
     computation). n_rows must be a power of two >= 4.
 
     transcript_seed: optional field elements absorbed before the public
     inputs — composite proofs chain their sub-proofs' transcripts through
-    this (the verifier must supply the same seed)."""
+    this (the verifier must supply the same seed).
+
+    mesh: optional jax.sharding.Mesh — shards the LDEs (columns), the
+    constraint quotient + DEEP composition (domain rows, ppermute halo),
+    and Merkle leaf hashing across its devices (parallel/prover.py). The
+    proof bytes are identical to the single-chip path."""
     n_cols, n = int(trace_cols.shape[0]), int(trace_cols.shape[1])
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
@@ -447,18 +478,57 @@ def prove(
     blowup = 1 << rate_bits
     shift = config.shift
 
+    # Per-phase timers (the reference's RUST_LOG=debug proof-time logging,
+    # SURVEY.md §5): logged at DEBUG, one summary line at INFO.
+    import time as _time
+
+    _phases: list[tuple[str, float]] = []
+    _t0 = _time.perf_counter()
+
+    def _mark(label: str):
+        nonlocal _t0
+        now = _time.perf_counter()
+        _phases.append((label, now - _t0))
+        log.debug("prove[%s n=%d]: %s %.2fs", type(air).__name__, n, label, now - _t0)
+        _t0 = now
+
     challenger = Challenger()
     if transcript_seed:
         challenger.observe_elements(transcript_seed)
     challenger.observe_elements(public_inputs)
 
+    # Sharded-phase functions (memoized per AIR shape + mesh).
+    if mesh is not None:
+        from ..parallel import prover as shp
+
+        def _shfn(tag, builder):
+            key = (tag, _air_cache_key(air), log_n, rate_bits, shift, mesh)
+            if key not in _FN_CACHE:
+                _FN_CACHE[key] = builder()
+            return _FN_CACHE[key]
+
+        lde_fn = _shfn("slde", lambda: shp.sharded_trace_lde(mesh, rate_bits, shift))
+        leaf_fn = _shfn("sleaf", lambda: shp.sharded_leaf_hashes(mesh))
+        quotient_fn = _shfn(
+            "squot", lambda: shp.sharded_quotient_fn(mesh, air, log_n, rate_bits)
+        )
+        deep_fn = _shfn(
+            "sdeep", lambda: shp.sharded_deep_fn(mesh, air, log_n, rate_bits)
+        )
+    else:
+        lde_fn = _trace_lde_fn(rate_bits, shift)
+        leaf_fn = None
+        quotient_fn = _quotient_fn(air, log_n, rate_bits, shift)
+        deep_fn = _deep_compose_fn(air, log_n, rate_bits)
+
     # 1. Trace LDE + commit. Merkle rows are LDE rows: (N, n_cols).
-    trace_coeffs, trace_lde = _trace_lde_fn(rate_bits, shift)(trace_cols)
+    trace_coeffs, trace_lde = lde_fn(trace_cols)
     trace_rows = GF(
         jnp.transpose(trace_lde.lo), jnp.transpose(trace_lde.hi)
     )  # (N, n_cols)
-    trace_tree = MerkleTree.build(trace_rows)
+    trace_tree = MerkleTree.build(trace_rows, leaf_fn=leaf_fn)
     challenger.observe_digest(trace_tree.root)
+    _mark("trace-lde+commit")
 
     # 1b. Phase-2 (auxiliary) commitment: sample challenges from the
     #     transcript, derive aux columns (lookup/permutation witnesses),
@@ -468,10 +538,11 @@ def prove(
     if n_aux:
         aux_cols = air.aux_columns(trace_cols, challenges, list(public_inputs))
         assert tuple(aux_cols.shape) == (n_aux, n), aux_cols.shape
-        aux_coeffs, aux_lde = _trace_lde_fn(rate_bits, shift)(aux_cols)
+        aux_coeffs, aux_lde = lde_fn(aux_cols)
         aux_rows = GF(jnp.transpose(aux_lde.lo), jnp.transpose(aux_lde.hi))
-        aux_tree = MerkleTree.build(aux_rows)
+        aux_tree = MerkleTree.build(aux_rows, leaf_fn=leaf_fn)
         challenger.observe_digest(aux_tree.root)
+        _mark("aux-columns+commit")
         all_lde = GF.concatenate([trace_lde, aux_lde], axis=0)
         all_coeffs = GF.concatenate([trace_coeffs, aux_coeffs], axis=0)
     else:
@@ -514,7 +585,7 @@ def prove(
         if chal_components
         else GF.zeros((0,))
     )
-    q_evals = _quotient_fn(air, log_n, rate_bits, shift)(
+    q_evals = quotient_fn(
         all_lde, alpha_pows, pub_gf, periodic, public_cols, zinvs, chal_gf
     )
 
@@ -540,8 +611,9 @@ def prove(
     quot_rows = GF.stack(
         [x for ch in chunk_ldes for x in (ch.c0, ch.c1)], axis=-1
     )  # (N, 2*n_chunks)
-    quot_tree = MerkleTree.build(quot_rows)
+    quot_tree = MerkleTree.build(quot_rows, leaf_fn=leaf_fn)
     challenger.observe_digest(quot_tree.root)
+    _mark("quotient+commit")
     z = challenger.sample_ext()
 
     # 4. OOD evaluations at z * g^k for every frame offset k (device).
@@ -569,6 +641,7 @@ def prove(
             challenger.observe_ext(v)
     for v in ood_quot:
         challenger.observe_ext(v)
+    _mark("ood")
     beta = challenger.sample_ext()
 
     # 5. DEEP composition over the LDE domain: one group per opening point.
@@ -605,12 +678,14 @@ def prove(
     invs_gf2 = GF2.stack([_ext_list_to_gf2(r) for r in inv_rows], axis=0)
     chunks_gf2 = GF2.stack(chunk_ldes, axis=0)  # (n_chunks, N)
 
-    F = _deep_compose_fn(air, log_n, rate_bits)(
+    F = deep_fn(
         all_lde, chunks_gf2, betas_t_gf2, betas_q_gf2, g0s_gf2, invs_gf2
     )
+    _mark("deep")
 
     # 6. FRI low-degree proof (degree bound n on domain N).
     fri_proof = fri_prove(F, challenger, config.fri, shift)
+    _mark("fri")
 
     # 7. Openings at the FRI query indices: gather ONLY the queried rows on
     #    device and fetch those (the full row matrices are n_total * N field
@@ -633,6 +708,13 @@ def prove(
             quot_sel[k_q].tolist(),
             quot_paths[q],
         )
+    _mark("openings")
+    log.info(
+        "prove[%s n=%d N=%d cols=%d] %s total=%.2fs",
+        type(air).__name__, n, N, n_cols + n_aux,
+        " ".join(f"{k}={v:.2f}" for k, v in _phases),
+        sum(v for _, v in _phases),
+    )
 
     return StarkProof(
         n_rows=n,

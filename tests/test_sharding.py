@@ -31,6 +31,34 @@ def test_sharded_poseidon_matches_single(mesh):
     assert out_sharded.to_ints().tolist() == out_single.to_ints().tolist()
 
 
+@pytest.mark.slow
+def test_sharded_prove_identical_to_single_chip(mesh):
+    """prove(mesh=...) — column-sharded LDEs, halo-exchange quotient,
+    sharded DEEP + leaf hashing — must emit byte-identical proofs. Uses the
+    SHA-256 AIR (frame offsets up to 16 exercise the ppermute halo)."""
+    import hashlib
+
+    from tendermintx_tpu.stark.prover import StarkConfig, prove
+    from tendermintx_tpu.stark.serialize import stark_proof_to_dict
+    from tendermintx_tpu.stark.sha256_air import (
+        Sha256Air,
+        pad_message,
+        schedule_messages,
+        sha256_batch_trace,
+    )
+    from tendermintx_tpu.stark.verifier import verify
+
+    msgs = [bytes([i]) * (20 + i) for i in range(6)] + [b"x" * 90]  # 8 segs
+    blocks, chain_flags, _ = schedule_messages(msgs)
+    trace, publics = sha256_batch_trace(blocks, chain_flags)
+    air = Sha256Air(len(blocks))
+    cfg = StarkConfig(rate_bits=2, n_queries=12, final_poly_len=8)
+    single = prove(air, trace, publics, cfg)
+    sharded = prove(air, trace, publics, cfg, mesh=mesh)
+    assert stark_proof_to_dict(sharded) == stark_proof_to_dict(single)
+    assert verify(air, sharded, cfg)
+
+
 def test_sharded_lane_checks_matches_single(mesh):
     chain = TestChain(n_validators=13, powers=[7 + i for i in range(13)])
     h = chain.extend(signers=list(range(11)))
