@@ -126,6 +126,12 @@ class OperatorConfig:
     # witness-mode validity bit (ADVICE r1: never submit on the native
     # bit alone). Kept in `last_composite`.
     prove_composite: bool = False
+    # write path: with a key + ethereum_rpc + contract_address, updates are
+    # submitted as signed step(uint64)/skip(uint64,uint64) transactions
+    # (reference bin/tendermintx.rs:91-143). Requires prove_composite —
+    # nothing is ever submitted on the native validity bit alone.
+    private_key: str | None = None
+    eth_chain_id: int = 1
 
     @classmethod
     def from_dict(cls, d: dict) -> "OperatorConfig":
@@ -155,6 +161,19 @@ class TendermintXOperator:
             )
         self.last_bundle = None  # most recent LeafProofBundle (prove_stark)
         self.last_composite = None  # most recent CompositeProof (prove_composite)
+        self.submitter = None
+        if config.private_key and config.ethereum_rpc and config.contract_address:
+            from .signer import EthSubmitter
+
+            assert config.prove_composite, (
+                "the write path requires prove_composite: transactions are "
+                "only submitted after independent proof verification"
+            )
+            self.submitter = EthSubmitter(
+                EthClient(config.ethereum_rpc),
+                config.private_key,
+                config.eth_chain_id,
+            )
         self.step_circuit = StepCircuit(
             config.max_validators, tm_config, self.fetcher
         )
@@ -252,6 +271,10 @@ class TendermintXOperator:
     def _submit_step(self, prev_block: int, next_header: bytes):
         if hasattr(self.contract, "step"):
             self.contract.step(prev_block, next_header)
+        elif self.submitter is not None:
+            calldata = selector("step(uint64)") + hex(prev_block)[2:].rjust(64, "0")
+            tx = self.submitter.submit(self.config.contract_address, calldata)
+            log.info("submitted step(%d) tx %s", prev_block, tx)
         else:
             log.info(
                 "proved step %d -> %d header %s (no submitter configured)",
@@ -261,6 +284,14 @@ class TendermintXOperator:
     def _submit_skip(self, trusted: int, target: int, target_header: bytes):
         if hasattr(self.contract, "skip"):
             self.contract.skip(trusted, target, target_header)
+        elif self.submitter is not None:
+            calldata = (
+                selector("skip(uint64,uint64)")
+                + hex(trusted)[2:].rjust(64, "0")
+                + hex(target)[2:].rjust(64, "0")
+            )
+            tx = self.submitter.submit(self.config.contract_address, calldata)
+            log.info("submitted skip(%d, %d) tx %s", trusted, target, tx)
         else:
             log.info(
                 "proved skip %d -> %d header %s (no submitter configured)",
