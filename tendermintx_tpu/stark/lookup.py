@@ -148,29 +148,70 @@ class RangeLookup:
 
         idx = list(self.checked_cols)
         checked = GF(trace.lo[jnp.asarray(idx)], trace.hi[jnp.asarray(idx)])
-        d = gamma_minus(checked)  # (K, n)
-        dinv = d.inv()
-        # Batch sums via one reshape instead of a Python loop over batches
-        # (the loop emits ~4x n_batches slice graphs — minutes of XLA
-        # compile for the Ed25519 AIR's 447 batches).
         K, nb = len(idx), self.n_batches
         pad = nb * BATCH - K
         if pad:
-            z = jnp.zeros((pad, dinv.c0.lo.shape[-1]), dinv.c0.lo.dtype)
-            dinv = GF2(
+            # pad with a value whose (γ - v) contributes 1/(γ - 0) … no:
+            # padding must contribute ZERO to the batch sum, so extend with
+            # the closed form below using numer term 0 — achieved by giving
+            # pad cells denominator (γ - 0) but excluding them from numer.
+            z = jnp.zeros((pad, checked.lo.shape[-1]), checked.lo.dtype)
+            checked = GF(
+                jnp.concatenate([checked.lo, z]),
+                jnp.concatenate([checked.hi, z]),
+            )
+        d = gamma_minus(checked)  # (nb*BATCH, n)
+        # w_b = Σ_i 1/(γ - v_i) via the closed form (Σ_i Π_{j≠i}) / Π_i:
+        # ONE inversion per batch instead of BATCH (inversion = ~64 muls,
+        # the dominant aux cost at Ed25519 scale).
+        n = d.c0.lo.shape[-1]
+
+        def seg(k):
+            return GF2(
                 GF(
-                    jnp.concatenate([dinv.c0.lo, z]),
-                    jnp.concatenate([dinv.c0.hi, z]),
+                    d.c0.lo.reshape(nb, BATCH, n)[:, k],
+                    d.c0.hi.reshape(nb, BATCH, n)[:, k],
                 ),
                 GF(
-                    jnp.concatenate([dinv.c1.lo, z]),
-                    jnp.concatenate([dinv.c1.hi, z]),
+                    d.c1.lo.reshape(nb, BATCH, n)[:, k],
+                    d.c1.hi.reshape(nb, BATCH, n)[:, k],
                 ),
             )
-        w = GF2(
-            dinv.c0.reshape(nb, BATCH, -1).sum(axis=1),
-            dinv.c1.reshape(nb, BATCH, -1).sum(axis=1),
-        )  # (nb, n)
+
+        d0, d1, d2, d3 = (seg(k) for k in range(BATCH))
+        if pad:
+            # Pad cells exist only in the LAST batch and are not part of
+            # the constraint: set their d to 1 (no effect on the products)
+            # and subtract their spurious numerator terms afterwards.
+            one = GF2.ones(d0.shape)
+            segs = [d0, d1, d2, d3]
+            row_mask = jnp.arange(nb)[:, None] == nb - 1
+            for k in range(BATCH - pad, BATCH):
+                segs[k] = GF2(
+                    GF(
+                        jnp.where(row_mask, one.c0.lo, segs[k].c0.lo),
+                        jnp.where(row_mask, one.c0.hi, segs[k].c0.hi),
+                    ),
+                    GF(
+                        jnp.where(row_mask, one.c1.lo, segs[k].c1.lo),
+                        jnp.where(row_mask, one.c1.hi, segs[k].c1.hi),
+                    ),
+                )
+            d0, d1, d2, d3 = segs
+        p01 = d0 * d1
+        p23 = d2 * d3
+        denom = p01 * p23
+        numer = p23 * (d0 + d1) + p01 * (d2 + d3)
+        if pad:
+            # each pad cell (d=1) contributed Π_{j≠i} = denom to the last
+            # batch row's numerator; remove pad * denom there
+            mask = (jnp.arange(nb) == nb - 1).astype(jnp.uint32)[:, None]
+            sub = GF2(denom.c0.cmul(pad), denom.c1.cmul(pad))
+            numer = numer - GF2(
+                GF(sub.c0.lo * mask, sub.c0.hi * mask),
+                GF(sub.c1.lo * mask, sub.c1.hi * mask),
+            )
+        w = numer * denom.inv()  # (nb, n)
         table = GF.from_u32(jnp.asarray(self._table_values()))  # (width, n)
         m_idx = [self.mult_base + j for j in range(self.width)]
         m = GF(trace.lo[jnp.asarray(m_idx)], trace.hi[jnp.asarray(m_idx)])
