@@ -100,7 +100,15 @@ def merkle_root_dynamic(leaf_digests: jnp.ndarray, n_enabled: jnp.ndarray):
     Equivalent of plonky2x `get_root_from_hashed_leaves` (SURVEY.md N7).
     """
     B = leaf_digests.shape[0]
-    levels = B.bit_length() - 1
+    Bp = 1 << max((B - 1).bit_length(), 0)
+    if Bp != B:
+        # non-power-of-two lane counts (e.g. the reference's Celestia
+        # VALIDATOR_SET_SIZE_MAX=100): pad with junk rows — never selected,
+        # every level keeps only the first n live nodes
+        leaf_digests = jnp.concatenate(
+            [leaf_digests, jnp.zeros((Bp - B, 32), jnp.uint8)], axis=0
+        )
+    levels = Bp.bit_length() - 1
     nodes = leaf_digests
     n = n_enabled.astype(jnp.int32)
     for _ in range(levels):
@@ -174,6 +182,12 @@ def u64_sum_masked(vp_lo, vp_hi, mask):
     lo = vp_lo * m
     hi = vp_hi * m
     n = lo.shape[0]
+    pad = (1 << max((n - 1).bit_length(), 0)) - n
+    if pad:  # non-power-of-two lane counts (e.g. max_validators=100)
+        z = jnp.zeros((pad,), jnp.uint32)
+        lo = jnp.concatenate([lo, z])
+        hi = jnp.concatenate([hi, z])
+        n += pad
     while n > 1:
         half = n // 2
         lo2, hi2 = u64_add((lo[:half], hi[:half]), (lo[half:], hi[half:]))

@@ -107,6 +107,58 @@ def test_skip_synthetic_with_absent(tmp_path):
     assert out == chain.headers[5].hash()
 
 
+@pytest.mark.slow
+def test_step_scale_32(tmp_path):
+    """Reference tests N=32 (step.rs:234-268); full witness circuit."""
+    chain = TestChain(n_validators=32, chain_id="scale-32")
+    for _ in range(3):
+        chain.extend()
+    chain.write_fixtures(str(tmp_path))
+    f = InputDataFetcher(fixture_path=str(tmp_path), mode=InputDataMode.FIXTURE)
+    cfg = TendermintConfig(chain_id="scale-32")
+    circuit = StepCircuit(max_validators=32, config=cfg, fetcher=f)
+    out = circuit.run(encode_step_input(2, chain.headers[2].hash()))
+    assert out == chain.headers[3].hash()
+
+
+@pytest.mark.slow
+def test_skip_scale_100(tmp_path):
+    """Reference's Celestia-size test (skip.rs:287 at N=100)."""
+    chain = TestChain(n_validators=100, chain_id="scale-100")
+    for _ in range(5):
+        chain.extend()
+    chain.write_fixtures(str(tmp_path))
+    f = InputDataFetcher(fixture_path=str(tmp_path), mode=InputDataMode.FIXTURE)
+    cfg = TendermintConfig(chain_id="scale-100")
+    circuit = SkipCircuit(max_validators=100, config=cfg, fetcher=f)
+    out = circuit.run(encode_skip_input(1, chain.headers[1].hash(), 5))
+    assert out == chain.headers[5].hash()
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TMX_BIG"), reason="set TMX_BIG=1 for the 128-lane composite"
+)
+@pytest.mark.slow
+def test_skip_scale_128_composite(tmp_path):
+    """The BASELINE.md north-star statement size: full composite proof for
+    a 128-validator skip, verified standalone."""
+    from tendermintx_tpu.circuits.composite import (
+        prove_skip_composite,
+        verify_skip_composite,
+    )
+
+    chain = TestChain(n_validators=128, chain_id="scale-128")
+    for _ in range(5):
+        chain.extend()
+    chain.write_fixtures(str(tmp_path))
+    f = InputDataFetcher(fixture_path=str(tmp_path), mode=InputDataMode.FIXTURE)
+    trusted = chain.headers[1].hash()
+    inputs = f.get_skip_inputs(1, trusted, 5, max_validators=128)
+    proof = prove_skip_composite(1, trusted, 5, inputs)
+    out = verify_skip_composite(proof, "scale-128", 100_800)
+    assert out == (1, trusted, 5, chain.headers[5].hash())
+
+
 def test_skip_synthetic_insufficient_power_fails(tmp_path):
     chain = TestChain(n_validators=8, powers=[10] * 8, chain_id="test-chain")
     for _ in range(4):
