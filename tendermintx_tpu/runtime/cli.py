@@ -198,6 +198,47 @@ def cmd_operator(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Run the local prover-service queue (reference platform-prover role:
+    /root/reference/bin/tendermintx.rs:103-143 submits to a hosted service;
+    here the service is this process on the local chip(s))."""
+    import time
+
+    from .service import ProverService
+
+    svc = ProverService(port=args.port)
+    svc.start()
+    print(f"prover service listening on {svc.url}", flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        svc.stop()
+    return 0
+
+
+def cmd_submit(args) -> int:
+    """Submit a proof request to a running service and wait for the proof."""
+    from .service import ProverClient
+
+    client = ProverClient(args.url)
+    req_id = client.submit(
+        args.circuit,
+        args.chain,
+        args.input,
+        max_validators=args.max_validators,
+        fixture_path=args.fixture_path,
+        rpc_urls=args.rpc_url or None,
+    )
+    print(f"request {req_id}", flush=True)
+    result = client.wait(req_id, timeout=args.timeout)
+    with open(args.out, "w") as f:
+        json.dump(result["proof"], f)
+    print(f"output {result['output']}")
+    print(f"proof written to {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="tendermintx-tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -236,6 +277,22 @@ def main(argv=None) -> int:
     op.add_argument("--config", required=True)
     op.add_argument("--iterations", type=int, default=None)
     op.set_defaults(fn=cmd_operator)
+
+    sv = sub.add_parser("serve", help="run the local prover-service queue")
+    sv.add_argument("--port", type=int, default=8642)
+    sv.set_defaults(fn=cmd_serve)
+
+    sm = sub.add_parser("submit", help="submit a request to a prover service")
+    sm.add_argument("--url", required=True)
+    sm.add_argument("--circuit", choices=["step", "skip"], required=True)
+    sm.add_argument("--chain", default="celestia")
+    sm.add_argument("--input", required=True, help="abi.encodePacked hex")
+    sm.add_argument("--max-validators", type=int, default=128)
+    sm.add_argument("--fixture-path", default=None)
+    sm.add_argument("--rpc-url", action="append", default=None)
+    sm.add_argument("--timeout", type=float, default=3600)
+    sm.add_argument("--out", default="proof.json")
+    sm.set_defaults(fn=cmd_submit)
 
     args = p.parse_args(argv)
     return args.fn(args)

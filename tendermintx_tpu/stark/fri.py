@@ -209,16 +209,51 @@ def fri_prove(
     )
 
 
-def grind(seed: int, pow_bits: int) -> int:
-    """Find nonce with poseidon_hash([seed, nonce])[0] ≡ 0 mod 2^pow_bits."""
+@lru_cache(maxsize=None)
+def _grind_fn(pow_bits: int, batch: int):
+    mask = np.uint32((1 << pow_bits) - 1)
+
+    @jax.jit
+    def f(seed_lo, seed_hi, start):
+        nonces = start + jnp.arange(batch, dtype=jnp.uint32)
+        lo = jnp.zeros((batch, ps.WIDTH), jnp.uint32)
+        hi = jnp.zeros((batch, ps.WIDTH), jnp.uint32)
+        lo = lo.at[:, 0].set(seed_lo).at[:, 1].set(nonces)
+        hi = hi.at[:, 0].set(seed_hi)
+        out = ps.permute(GF(lo, hi))
+        ok = (out.lo[:, 0] & mask) == 0
+        idx = jnp.argmax(ok)
+        return idx, ok[idx]
+
+    return f
+
+
+def grind(seed: int, pow_bits: int, batch: int = 1 << 14) -> int:
+    """Find nonce with poseidon_hash([seed, nonce])[0] ≡ 0 mod 2^pow_bits.
+
+    On an accelerator backend the ~2^pow_bits candidates are searched in
+    device batches; on CPU the native-core host loop is faster than
+    emulated wide batches, so it stays host-side."""
     if pow_bits == 0:
         return 0
-    mask = (1 << pow_bits) - 1
-    nonce = 0
-    while True:
-        if ps.hash_ints([seed, nonce])[0] & mask == 0:
-            return nonce
-        nonce += 1
+    assert pow_bits <= 32
+    if jax.default_backend() == "cpu":
+        mask = (1 << pow_bits) - 1
+        nonce = 0
+        while True:
+            if ps.hash_ints([seed, nonce])[0] & mask == 0:
+                return nonce
+            nonce += 1
+    fn = _grind_fn(pow_bits, batch)
+    s_lo = np.uint32(seed & 0xFFFFFFFF)
+    s_hi = np.uint32(seed >> 32)
+    start = 0
+    while start < 1 << 32:
+        idx, found = fn(s_lo, s_hi, np.uint32(start))
+        if bool(found):
+            return start + int(idx)
+        start += batch
+    raise RuntimeError("grinding failed")  # pragma: no cover
 
 
 def check_grind(seed: int, nonce: int, pow_bits: int) -> bool:

@@ -1,0 +1,114 @@
+"""Prover-service queue: HTTP plumbing + end-to-end composite proving.
+
+Covers the reference's platform-client role (SURVEY.md N13 —
+SuccinctClient::submit_platform_request, /root/reference/bin/
+tendermintx.rs:103-143) as a local queue service.
+"""
+
+import threading
+
+import pytest
+
+from tendermintx_tpu.circuits.step import encode_step_input
+from tendermintx_tpu.runtime.service import ProverClient, ProverService
+
+
+def _echo_prover(request):
+    return {"proof": {"echo": request["circuit"]}, "output": "0x" + "ab" * 32}
+
+
+def test_service_plumbing_and_validation():
+    """Submit/status/result lifecycle with a stub prover; malformed
+    requests are rejected with 400 and unknown ids with 404."""
+    svc = ProverService(prover=_echo_prover)
+    svc.start()
+    try:
+        client = ProverClient(svc.url)
+        req_id = client.submit("step", "test-chain", "0x" + "00" * 40)
+        out = client.wait(req_id, timeout=30, poll=0.05)
+        assert out["proof"] == {"echo": "step"}
+        assert out["output"] == "0x" + "ab" * 32
+        assert client.status(req_id)["state"] == "done"
+
+        with pytest.raises(KeyError):
+            client.status("deadbeef")
+        with pytest.raises(RuntimeError, match="submit failed"):
+            client.submit("frobnicate", "test-chain", "0x00")
+        with pytest.raises(RuntimeError, match="submit failed"):
+            client.submit("step", "test-chain", "0xZZ")
+    finally:
+        svc.stop()
+
+
+def test_service_failed_job_reports_error():
+    def boom(request):
+        raise ValueError("no witness")
+
+    svc = ProverService(prover=boom)
+    svc.start()
+    try:
+        client = ProverClient(svc.url)
+        req_id = client.submit("skip", "test-chain", "0x" + "00" * 48)
+        with pytest.raises(RuntimeError, match="no witness"):
+            client.wait(req_id, timeout=30, poll=0.05)
+        st = client.status(req_id)
+        assert st["state"] == "failed" and "no witness" in st["error"]
+        with pytest.raises(RuntimeError, match="not done"):
+            client.result(req_id)
+    finally:
+        svc.stop()
+
+
+def test_service_queues_sequentially():
+    """Jobs run one at a time in submission order (single prover worker)."""
+    order = []
+    gate = threading.Event()
+
+    def slow_prover(request):
+        order.append(request["chain_id"])
+        if len(order) == 1:
+            gate.wait(timeout=10)
+        return {"proof": {}, "output": "0x"}
+
+    svc = ProverService(prover=slow_prover)
+    svc.start()
+    try:
+        client = ProverClient(svc.url)
+        a = client.submit("step", "first", "0x" + "00" * 40)
+        b = client.submit("step", "second", "0x" + "00" * 40)
+        assert client.status(b)["state"] == "pending"
+        gate.set()
+        client.wait(a, timeout=30, poll=0.05)
+        client.wait(b, timeout=30, poll=0.05)
+        assert order == ["first", "second"]
+    finally:
+        svc.stop()
+
+
+@pytest.mark.slow
+def test_service_end_to_end_step(tmp_path):
+    """Full path: operator-side submit of a step request -> composite proof
+    comes back verified, output header matches the chain."""
+    from tendermintx_tpu.inputs.testchain import TestChain
+
+    chain = TestChain(n_validators=4, chain_id="test-chain")
+    for _ in range(4):
+        chain.extend()
+    chain.write_fixtures(str(tmp_path))
+
+    svc = ProverService()
+    svc.start()
+    try:
+        client = ProverClient(svc.url)
+        req_id = client.submit(
+            "step",
+            "test-chain",
+            "0x" + encode_step_input(2, chain.headers[2].hash()).hex(),
+            max_validators=4,
+            fixture_path=str(tmp_path),
+        )
+        out = client.wait(req_id, timeout=1800, poll=0.5)
+        assert out["output"] == "0x" + chain.headers[3].hash().hex()
+        assert out["proof"]["kind"] == "step-composite"
+    finally:
+        svc.stop()
