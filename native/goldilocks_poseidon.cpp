@@ -150,6 +150,57 @@ void tmx_poseidon_two_to_one(const uint64_t* left, const uint64_t* right,
     memcpy(digest, state, 4 * sizeof(uint64_t));
 }
 
+// MDS property check: a matrix is MDS iff every square submatrix is
+// nonsingular. Brute-forces all minors of the n x n matrix (n <= 12:
+// sum_k C(n,k)^2 ~ 2.7M determinants via Gaussian elimination mod P).
+// Returns 1 if MDS, 0 otherwise. Used (offline + slow test) to validate
+// the small-entry Poseidon MDS matrix in ops/poseidon.py.
+int tmx_mds_check(const uint64_t* m, int n) {
+    if (n > 12) return 0;
+    int full = 1 << n;
+    // row/col index lists per mask, precomputed
+    for (int rmask = 1; rmask < full; rmask++) {
+        int k = __builtin_popcount(rmask);
+        int rows[12];
+        int ri = 0;
+        for (int i = 0; i < n; i++)
+            if (rmask & (1 << i)) rows[ri++] = i;
+        for (int cmask = 1; cmask < full; cmask++) {
+            if (__builtin_popcount(cmask) != k) continue;
+            int cols[12];
+            int ci = 0;
+            for (int j = 0; j < n; j++)
+                if (cmask & (1 << j)) cols[ci++] = j;
+            uint64_t a[12][12];
+            for (int i = 0; i < k; i++)
+                for (int j = 0; j < k; j++) a[i][j] = m[rows[i] * n + cols[j]];
+            // Gaussian elimination; determinant zero <=> singular minor
+            int singular = 0;
+            for (int col = 0; col < k && !singular; col++) {
+                int piv = -1;
+                for (int r = col; r < k; r++)
+                    if (a[r][col]) { piv = r; break; }
+                if (piv < 0) { singular = 1; break; }
+                if (piv != col)
+                    for (int j = col; j < k; j++) {
+                        uint64_t t = a[col][j];
+                        a[col][j] = a[piv][j];
+                        a[piv][j] = t;
+                    }
+                uint64_t inv = tmx_gl_inv(a[col][col]);
+                for (int r = col + 1; r < k; r++) {
+                    if (!a[r][col]) continue;
+                    uint64_t f = gl_mul(a[r][col], inv);
+                    for (int j = col; j < k; j++)
+                        a[r][j] = gl_sub(a[r][j], gl_mul(f, a[col][j]));
+                }
+            }
+            if (singular) return 0;
+        }
+    }
+    return 1;
+}
+
 // Merkle opening verification: leaf row hash + path walk. Returns 1 on match.
 int tmx_merkle_verify(const uint64_t* root, uint64_t index,
                       const uint64_t* leaf_row, uint64_t row_len,

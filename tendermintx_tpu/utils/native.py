@@ -75,6 +75,8 @@ def load():
     lib.tmx_poseidon_two_to_one.argtypes = [u64p, u64p, u64p]
     lib.tmx_merkle_verify.restype = ctypes.c_int
     lib.tmx_merkle_verify.argtypes = [u64p, u64, u64p, u64, u64p, u64]
+    lib.tmx_mds_check.restype = ctypes.c_int
+    lib.tmx_mds_check.argtypes = [u64p, ctypes.c_int]
 
     # push the canonical Poseidon parameters
     from ..ops import poseidon as ps
@@ -105,6 +107,19 @@ def hash_ints_native(inputs: list[int]) -> list[int] | None:
     out = (ctypes.c_uint64 * 4)()
     lib.tmx_poseidon_hash(arr, len(inputs), out)
     return list(out)
+
+
+def mds_check_native(matrix: list[list[int]]) -> bool | None:
+    """True iff every square submatrix of `matrix` is nonsingular mod p
+    (the MDS property). Exhaustive minor check — ~2.7M determinants for
+    12x12, a few seconds of native time; None if the core is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(matrix)
+    flat = [matrix[i][j] for i in range(n) for j in range(n)]
+    arr = (ctypes.c_uint64 * (n * n))(*flat)
+    return bool(lib.tmx_mds_check(arr, n))
 
 
 def two_to_one_native(left: list[int], right: list[int]) -> list[int] | None:
