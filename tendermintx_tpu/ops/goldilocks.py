@@ -276,6 +276,34 @@ def from_int_array(x) -> tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
+def fetch_ints_many(arrs) -> list[np.ndarray]:
+    """Fetch several GF arrays as Python-int object arrays with ONE
+    device→host transfer (per-array fetches are latency-bound through the
+    remote-TPU relay). Accepts a list of GF; returns matching object
+    arrays."""
+    import jax.numpy as jnp
+
+    flats = []
+    shapes = []
+    for a in arrs:
+        shapes.append(a.shape)
+        flats.append(a.lo.reshape(-1))
+        flats.append(a.hi.reshape(-1))
+    joined = np.asarray(jnp.concatenate(flats)) if flats else np.zeros(0)
+    out = []
+    off = 0
+    for shp in shapes:
+        size = 1
+        for d in shp:
+            size *= int(d)
+        lo = joined[off : off + size].reshape(shp)
+        off += size
+        hi = joined[off : off + size].reshape(shp)
+        off += size
+        out.append(to_int_array(lo, hi))
+    return out
+
+
 def to_int_array(lo, hi) -> np.ndarray:
     """(lo, hi) uint32 arrays -> object array of Python ints."""
     lo = np.asarray(lo)

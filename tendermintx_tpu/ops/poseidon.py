@@ -201,14 +201,17 @@ def _host_params():
     from .goldilocks import from_int_array
 
     rc = from_int_array(np.array(round_constants(), dtype=object))  # (30, 12)
-    mds_t = np.array(mds_matrix(), dtype=np.float32).T  # (12, 12) out=limbs@M^T
+    # (12, 12) transposed so out = limbs @ M^T; 7-bit entries are exact bf16
+    mds_t = np.array(mds_matrix(), dtype=np.float32).T
     return rc, mds_t
 
 
 def _device_params():
     # Rebuilt per call: caching jax arrays across jit traces leaks tracers.
     (rc_lo, rc_hi), mds_t = _host_params()
-    return GF(jnp.asarray(rc_lo), jnp.asarray(rc_hi)), jnp.asarray(mds_t)
+    return GF(jnp.asarray(rc_lo), jnp.asarray(rc_hi)), jnp.asarray(
+        mds_t, dtype=jnp.bfloat16
+    )
 
 
 def _sbox(x: GF) -> GF:
@@ -221,50 +224,49 @@ def _sbox(x: GF) -> GF:
 _M13 = np.uint32(0x1FFF)
 
 
+_M8 = np.uint32(0xFF)
+
+
 def _mds_apply(state: GF, mds_t: jnp.ndarray) -> GF:
     """out[i] = sum_j M[i,j] s[j] for the 7-bit-entry MDS matrix.
 
-    Each 64-bit element splits into five 13-bit limbs; limb x entry products
-    (< 2^20) summed over the 12 state lanes stay < 2^24 — exact in float32 —
-    so the whole contraction is one f32 matmul (MXU work on TPU). The five
-    exact accumulators then recombine through a 13-bit carry chain into a
-    <= 78-bit value reduced once per output element, replacing the 144 full
+    Each 64-bit element splits into eight 8-bit limbs cast to bfloat16 —
+    integers <= 255 are exactly representable there — so each limb plane
+    contracts as a native bf16 matmul with f32 accumulation (the MXU fast
+    path on TPU): products < 2^15 and 12-lane sums < 2^19 are exact in
+    float32 on EVERY backend (an f32-input matmul would not be: the TPU
+    lowers those to non-exact bf16 multi-pass decompositions). The eight
+    exact accumulators recombine through an 8-bit carry chain into a
+    <= 75-bit value reduced once per output element, replacing the 144 full
     64x64 field multiplies per state of a generic MDS apply.
     """
     from .goldilocks import reduce128
 
     lo, hi = state.lo, state.hi
-    l0 = lo & _M13
-    l1 = (lo >> 13) & _M13
-    l2 = ((lo >> 26) | (hi << 6)) & _M13
-    l3 = (hi >> 7) & _M13
-    l4 = hi >> 20  # 12 bits
-    # Five INDEPENDENT limb-plane contractions (..., 12) @ (12, 12). Not a
-    # stacked (..., 5, 12) matmul sliced back apart: XLA's CPU backend
+    # Eight INDEPENDENT limb-plane contractions (..., 12) @ (12, 12). Not a
+    # stacked (..., 8, 12) matmul sliced back apart: XLA's CPU backend
     # duplicates a fused producer for every slice taken of it, which inside
     # the round loop multiplies compile time ~100x.
-    a0, a1, a2, a3, a4 = (
+    accs = [
         jnp.matmul(
-            l.astype(jnp.float32), mds_t, preferred_element_type=jnp.float32
-        ).astype(jnp.uint32)  # exact: every accumulator < 2^24
-        for l in (l0, l1, l2, l3, l4)
-    )
+            ((w >> np.uint32(8 * k)) & _M8).astype(jnp.bfloat16),
+            mds_t,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.uint32)  # exact: every accumulator < 2^19
+        for w in (lo, hi)
+        for k in range(4)
+    ]
 
-    t = a0
-    b0 = t & _M13
-    t = (t >> 13) + a1
-    b1 = t & _M13
-    t = (t >> 13) + a2
-    b2 = t & _M13
-    t = (t >> 13) + a3
-    b3 = t & _M13
-    t = (t >> 13) + a4
-    b4 = t & _M13
-    b5 = t >> 13
-    r0 = b0 | (b1 << 13) | ((b2 & np.uint32(0x3F)) << 26)
-    r1 = (b2 >> 6) | (b3 << 7) | ((b4 & np.uint32(0xFFF)) << 20)
-    r2 = (b4 >> 12) | (b5 << 1)
-    return GF(*reduce128(r0, r1, r2, jnp.zeros_like(r2)))
+    t = accs[0]
+    b = []
+    for a in accs[1:]:
+        b.append(t & _M8)
+        t = (t >> 8) + a
+    b.append(t & _M8)
+    b8 = t >> 8  # <= 2^11
+    r0 = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
+    r1 = b[4] | (b[5] << 8) | (b[6] << 16) | (b[7] << 24)
+    return GF(*reduce128(r0, r1, b8, jnp.zeros_like(b8)))
 
 
 def permute(state: GF) -> GF:

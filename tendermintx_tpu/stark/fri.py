@@ -172,17 +172,54 @@ def fri_prove(
     # (full-layer to_ints made the TPU-relay prover latency-bound).
     query_indices = challenger.sample_indices(config.n_queries, n)
     idx_chain = list(query_indices)
-    layer_data = []
+    metas = []
+    dev_vals = []  # per layer (2k, 2) GF rows [c0, c1]
+    dev_sibs = []  # per layer (n_inner*ku, 4) GF sibling digests
     for l, tree in enumerate(trees):
         half = (n >> l) // 2
         i_list = [x % half for x in idx_chain]
         j_list = [i + half for i in i_list]
-        both = jnp.asarray(i_list + j_list)
-        vals = layers[l][both]
-        vc0, vc1 = [a.tolist() for a in vals.to_ints()]
-        paths = tree.open_many(i_list + j_list)
-        layer_data.append((i_list, j_list, vc0, vc1, paths))
+        both_list = i_list + j_list
+        v = layers[l][jnp.asarray(both_list)]
+        dev_vals.append(GF.stack([v.c0, v.c1], axis=-1))
+        uniq = sorted(set(both_list))
+        n_inner = len(tree.dev_layers) - 1
+        sib = [
+            tree.dev_layers[d][jnp.asarray([(i >> d) ^ 1 for i in uniq])]
+            for d in range(n_inner)
+        ]
+        dev_sibs.append(GF.concatenate(sib, axis=0))
+        metas.append((i_list, j_list, uniq, n_inner))
         idx_chain = i_list
+
+    # ONE host fetch for every queried value and sibling digest across ALL
+    # layers (a fetch per layer is relay-latency-bound on the remote TPU)
+    layer_data = []
+    if trees:
+        from ..ops.goldilocks import fetch_ints_many
+
+        all_vals, all_sibs = fetch_ints_many(
+            [GF.concatenate(dev_vals, axis=0), GF.concatenate(dev_sibs, axis=0)]
+        )
+        voff = soff = 0
+        for i_list, j_list, uniq, n_inner in metas:
+            k2 = 2 * len(i_list)
+            vals = all_vals[voff : voff + k2]
+            voff += k2
+            ku = len(uniq)
+            sl = all_sibs[soff : soff + n_inner * ku]
+            soff += n_inner * ku
+            pos = {idx: qi for qi, idx in enumerate(uniq)}
+            paths = {
+                idx: [
+                    [int(x) for x in sl[d * ku + pos[idx]]]
+                    for d in range(n_inner)
+                ]
+                for idx in uniq
+            }
+            vc0 = [int(r[0]) for r in vals]
+            vc1 = [int(r[1]) for r in vals]
+            layer_data.append((i_list, j_list, vc0, vc1, paths))
     query_rounds = []
     for qi in range(len(query_indices)):
         per_layer = []

@@ -132,115 +132,46 @@ class RangeLookup:
     # -- prover: aux columns (device) -----------------------------------------
 
     def build_aux(self, trace: GF, gamma: tuple[int, int]) -> GF:
-        """trace: (n_cols_main, n) GF on device. Returns (n_aux_cols, n)."""
+        """trace: (n_cols_main, n) GF on device. Returns (n_aux_cols, n).
+
+        Orchestrates four module-level jitted kernels (w, wt, running sum,
+        assembly). Deliberately NOT one fused jit program: compiling the
+        whole derivation as one graph trips XLA:CPU pathologies (circular
+        algebraic-simplifier rewrites on the scan network; producer
+        duplication through the interleave/concat assembly) that make the
+        executable orders of magnitude slower than its parts. Four
+        dispatches keep every array on device — the remote-TPU relay cost
+        is four launches instead of thousands of eager primitives.
+        """
         import jax.numpy as jnp
         from .prover import _ext_scalar
 
         n = self.n_rows
-        g = _ext_scalar(gamma, (1,))
-
-        def gamma_minus(base_vals: GF) -> GF2:
-            # (K, n) base -> ext (γ - v)
-            return GF2(
-                g.c0.broadcast_to(base_vals.shape) - base_vals,
-                g.c1.broadcast_to(base_vals.shape),
-            )
+        g = gamma if isinstance(gamma, GF2) else _ext_scalar(gamma, (1,))
 
         idx = list(self.checked_cols)
         checked = GF(trace.lo[jnp.asarray(idx)], trace.hi[jnp.asarray(idx)])
         K, nb = len(idx), self.n_batches
         pad = nb * BATCH - K
         if pad:
-            # pad with a value whose (γ - v) contributes 1/(γ - 0) … no:
-            # padding must contribute ZERO to the batch sum, so extend with
-            # the closed form below using numer term 0 — achieved by giving
-            # pad cells denominator (γ - 0) but excluding them from numer.
-            z = jnp.zeros((pad, checked.lo.shape[-1]), checked.lo.dtype)
+            # padding must contribute ZERO to the batch sum: pad cells get
+            # denominator (γ - 0) but are excluded from the numerator (see
+            # _aux_w_kernel)
+            z = jnp.zeros((pad, n), checked.lo.dtype)
             checked = GF(
                 jnp.concatenate([checked.lo, z]),
                 jnp.concatenate([checked.hi, z]),
             )
-        d = gamma_minus(checked)  # (nb*BATCH, n)
-        # w_b = Σ_i 1/(γ - v_i) via the closed form (Σ_i Π_{j≠i}) / Π_i:
-        # ONE inversion per batch instead of BATCH (inversion = ~64 muls,
-        # the dominant aux cost at Ed25519 scale).
-        n = d.c0.lo.shape[-1]
-
-        def seg(k):
-            return GF2(
-                GF(
-                    d.c0.lo.reshape(nb, BATCH, n)[:, k],
-                    d.c0.hi.reshape(nb, BATCH, n)[:, k],
-                ),
-                GF(
-                    d.c1.lo.reshape(nb, BATCH, n)[:, k],
-                    d.c1.hi.reshape(nb, BATCH, n)[:, k],
-                ),
-            )
-
-        d0, d1, d2, d3 = (seg(k) for k in range(BATCH))
-        if pad:
-            # Pad cells exist only in the LAST batch and are not part of
-            # the constraint: set their d to 1 (no effect on the products)
-            # and subtract their spurious numerator terms afterwards.
-            one = GF2.ones(d0.shape)
-            segs = [d0, d1, d2, d3]
-            row_mask = jnp.arange(nb)[:, None] == nb - 1
-            for k in range(BATCH - pad, BATCH):
-                segs[k] = GF2(
-                    GF(
-                        jnp.where(row_mask, one.c0.lo, segs[k].c0.lo),
-                        jnp.where(row_mask, one.c0.hi, segs[k].c0.hi),
-                    ),
-                    GF(
-                        jnp.where(row_mask, one.c1.lo, segs[k].c1.lo),
-                        jnp.where(row_mask, one.c1.hi, segs[k].c1.hi),
-                    ),
-                )
-            d0, d1, d2, d3 = segs
-        p01 = d0 * d1
-        p23 = d2 * d3
-        denom = p01 * p23
-        numer = p23 * (d0 + d1) + p01 * (d2 + d3)
-        if pad:
-            # each pad cell (d=1) contributed Π_{j≠i} = denom to the last
-            # batch row's numerator; remove pad * denom there
-            mask = (jnp.arange(nb) == nb - 1).astype(jnp.uint32)[:, None]
-            sub = GF2(denom.c0.cmul(pad), denom.c1.cmul(pad))
-            numer = numer - GF2(
-                GF(sub.c0.lo * mask, sub.c0.hi * mask),
-                GF(sub.c1.lo * mask, sub.c1.hi * mask),
-            )
-        w = numer * denom.inv()  # (nb, n)
+        checked = GF(
+            checked.lo.reshape(nb, BATCH, n), checked.hi.reshape(nb, BATCH, n)
+        )
+        w = _aux_w_kernel(checked, g, pad=pad)
         table = GF.from_u32(jnp.asarray(self._table_values()))  # (width, n)
         m_idx = [self.mult_base + j for j in range(self.width)]
         m = GF(trace.lo[jnp.asarray(m_idx)], trace.hi[jnp.asarray(m_idx)])
-        td = gamma_minus(table)
-        tdinv = td.inv()
-        wt = GF2(tdinv.c0 * m, tdinv.c1 * m)  # (width, n)
-        # running sum S[i] = sum_{r<=i} (Σ w - Σ wt)
-        diff = GF2(w.c0.sum(axis=0), w.c1.sum(axis=0)) - GF2(
-            wt.c0.sum(axis=0), wt.c1.sum(axis=0)
-        )
-        import jax
-
-        S = jax.lax.associative_scan(lambda a, b: a + b, diff, axis=0)
-
-        def interleave(pair: GF2) -> tuple:
-            # (k, n) ext -> (2k, n) base rows [c0_0, c1_0, c0_1, ...]
-            lo = jnp.stack([pair.c0.lo, pair.c1.lo], axis=1)
-            hi = jnp.stack([pair.c0.hi, pair.c1.hi], axis=1)
-            k = pair.c0.lo.shape[0]
-            return GF(lo.reshape(2 * k, -1), hi.reshape(2 * k, -1))
-
-        return GF.concatenate(
-            [
-                interleave(w),
-                interleave(wt),
-                GF.stack([S.c0, S.c1], axis=0),
-            ],
-            axis=0,
-        )
+        wt = _aux_wt_kernel(table, m, g)
+        S = _aux_scan_kernel(w, wt)
+        return _aux_assemble_kernel(w, wt, S)
 
     # -- constraints -----------------------------------------------------------
 
@@ -446,3 +377,109 @@ class RangeLookup:
         transition = list(_epair_sub(_epair_sub(S1, S0), d1))
         last = list(S0)
         return cyclic, first, transition, last
+
+# -- jitted aux kernels (module level: one compiled program each; see
+#    RangeLookup.build_aux for why they are not fused into one) -------------
+
+from functools import partial as _partial
+
+import jax as _jax
+import jax.numpy as _jnp
+
+
+def _gamma_minus(g: GF2, base_vals: GF) -> GF2:
+    # (K, n) base -> ext (γ - v)
+    return GF2(
+        g.c0.broadcast_to(base_vals.shape) - base_vals,
+        g.c1.broadcast_to(base_vals.shape),
+    )
+
+
+@_partial(_jax.jit, static_argnames=("pad",))
+def _aux_w_kernel(checked: GF, g: GF2, pad: int) -> GF2:
+    """checked: (nb, BATCH, n); returns w (nb, n) with w_b = Σ_i 1/(γ-v_i)
+    via the closed form (Σ_i Π_{j≠i}) / Π_i — ONE inversion per batch
+    instead of BATCH (inversion = ~64 muls, the dominant aux cost)."""
+    nb = checked.shape[0]
+    segs = [
+        _gamma_minus(g, GF(checked.lo[:, k], checked.hi[:, k]))
+        for k in range(BATCH)
+    ]
+    if pad:
+        # Pad cells exist only in the LAST batch row: set their d to 1 (no
+        # effect on products) and subtract their spurious numerator terms.
+        one = GF2.ones(segs[0].shape)
+        row_mask = _jnp.arange(nb)[:, None] == nb - 1
+        for k in range(BATCH - pad, BATCH):
+            segs[k] = GF2(
+                GF(
+                    _jnp.where(row_mask, one.c0.lo, segs[k].c0.lo),
+                    _jnp.where(row_mask, one.c0.hi, segs[k].c0.hi),
+                ),
+                GF(
+                    _jnp.where(row_mask, one.c1.lo, segs[k].c1.lo),
+                    _jnp.where(row_mask, one.c1.hi, segs[k].c1.hi),
+                ),
+            )
+    d0, d1, d2, d3 = segs
+    p01 = d0 * d1
+    p23 = d2 * d3
+    denom = p01 * p23
+    numer = p23 * (d0 + d1) + p01 * (d2 + d3)
+    if pad:
+        # each pad cell (d=1) contributed Π_{j≠i} = denom to the last
+        # batch row's numerator; remove pad * denom there
+        mask = (_jnp.arange(nb) == nb - 1).astype(_jnp.uint32)[:, None]
+        sub = GF2(denom.c0.cmul(pad), denom.c1.cmul(pad))
+        numer = numer - GF2(
+            GF(sub.c0.lo * mask, sub.c0.hi * mask),
+            GF(sub.c1.lo * mask, sub.c1.hi * mask),
+        )
+    return numer * denom.inv()
+
+
+@_jax.jit
+def _aux_wt_kernel(table: GF, m: GF, g: GF2) -> GF2:
+    """wt_j = m_j / (γ - t_j): multiplicity-weighted table terms."""
+    tdinv = _gamma_minus(g, table).inv()
+    return GF2(tdinv.c0 * m, tdinv.c1 * m)
+
+
+@_jax.jit
+def _aux_scan_kernel(w: GF2, wt: GF2) -> GF2:
+    """Running sum S[i] = Σ_{r<=i} (Σ_b w_b[r] - Σ_j wt_j[r]).
+
+    Sequential lax.scan, NOT associative_scan: the log-depth slicing
+    network of associative_scan over the field-add combinator sends
+    XLA:CPU's algebraic simplifier into a circular-rewrite loop; the
+    serial chain here is n field-adds, negligible."""
+    diff = GF2(w.c0.sum(axis=0), w.c1.sum(axis=0)) - GF2(
+        wt.c0.sum(axis=0), wt.c1.sum(axis=0)
+    )
+
+    def _step(carry, x):
+        s = carry + x
+        return s, s
+
+    zero = GF2(
+        GF(_jnp.zeros((), _jnp.uint32), _jnp.zeros((), _jnp.uint32)),
+        GF(_jnp.zeros((), _jnp.uint32), _jnp.zeros((), _jnp.uint32)),
+    )
+    _, S = _jax.lax.scan(_step, zero, diff)
+    return S
+
+
+@_jax.jit
+def _aux_assemble_kernel(w: GF2, wt: GF2, S: GF2) -> GF:
+    def interleave(pair: GF2) -> GF:
+        # (k, n) ext -> (2k, n) base rows [c0_0, c1_0, c0_1, ...]
+        lo = _jnp.stack([pair.c0.lo, pair.c1.lo], axis=1)
+        hi = _jnp.stack([pair.c0.hi, pair.c1.hi], axis=1)
+        k = pair.c0.lo.shape[0]
+        return GF(lo.reshape(2 * k, -1), hi.reshape(2 * k, -1))
+
+    return GF.concatenate(
+        [interleave(w), interleave(wt), GF.stack([S.c0, S.c1], axis=0)],
+        axis=0,
+    )
+

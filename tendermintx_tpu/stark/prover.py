@@ -536,7 +536,23 @@ def prove(
     challenges = [challenger.sample_ext() for _ in range(air.n_challenges)]
     n_aux = air.n_aux_cols
     if n_aux:
-        aux_cols = air.aux_columns(trace_cols, challenges, list(public_inputs))
+        # aux_columns implementations dispatch a handful of jitted kernels
+        # (see lookup.build_aux) — NOT one fused jit program, which trips
+        # XLA:CPU pathologies, and NOT thousands of eager primitives,
+        # which cost minutes through the remote-TPU relay. Challenges are
+        # passed as traced scalars so the kernels don't retrace per proof.
+        ch_traced = [
+            GF2(
+                GF(
+                    jnp.uint32(c0 & 0xFFFFFFFF), jnp.uint32(c0 >> 32)
+                ).broadcast_to((1,)),
+                GF(
+                    jnp.uint32(c1 & 0xFFFFFFFF), jnp.uint32(c1 >> 32)
+                ).broadcast_to((1,)),
+            )
+            for (c0, c1) in challenges
+        ]
+        aux_cols = air.aux_columns(trace_cols, ch_traced, list(public_inputs))
         assert tuple(aux_cols.shape) == (n_aux, n), aux_cols.shape
         aux_coeffs, aux_lde = lde_fn(aux_cols)
         aux_rows = GF(jnp.transpose(aux_lde.lo), jnp.transpose(aux_lde.hi))
@@ -692,12 +708,23 @@ def prove(
     #    elements — full to_ints was the prover's host-transfer bottleneck).
     qs = sorted(set(int(q) for q in fri_proof.query_indices))
     qarr = jnp.asarray(qs)
-    trace_sel = trace_rows[qarr].to_ints()  # (n_q, n_cols)
-    aux_sel = aux_rows[qarr].to_ints() if n_aux else None
-    quot_sel = quot_rows[qarr].to_ints()
-    trace_paths = trace_tree.open_many(qs)
-    aux_paths = aux_tree.open_many(qs) if n_aux else None
-    quot_paths = quot_tree.open_many(qs)
+    from ..ops.goldilocks import fetch_ints_many
+
+    dev_arrs = [trace_rows[qarr], quot_rows[qarr]]
+    tg = trace_tree.sibling_gather(qs)
+    qg = quot_tree.sibling_gather(qs)
+    dev_arrs += [tg[0], qg[0]]
+    if n_aux:
+        ag = aux_tree.sibling_gather(qs)
+        dev_arrs += [aux_rows[qarr], ag[0]]
+    fetched = fetch_ints_many(dev_arrs)  # ONE host fetch for all openings
+    trace_sel, quot_sel = fetched[0], fetched[1]
+    trace_paths = MerkleTree.decode_paths(fetched[2], tg[1], tg[2])
+    quot_paths = MerkleTree.decode_paths(fetched[3], qg[1], qg[2])
+    aux_sel = fetched[4] if n_aux else None
+    aux_paths = (
+        MerkleTree.decode_paths(fetched[5], ag[1], ag[2]) if n_aux else None
+    )
     openings = {}
     for k_q, q in enumerate(qs):
         openings[q] = (
