@@ -47,6 +47,15 @@ from ..stark.ed25519_air import (
     check_lane_publics,
     ed25519_air_trace,
 )
+from ..ops.ed25519 import L_ORDER
+from ..stark.sha512_air import (
+    PUB_PER_SEGMENT as PUB_PER_SHA512_SEGMENT,
+    Sha512Air,
+    digest_halves_to_bytes,
+    pad_message_512,
+    schedule_messages_512,
+    sha512_batch_trace,
+)
 from ..stark.prover import StarkConfig, StarkProof, prove
 from ..stark.serialize import stark_proof_from_dict, stark_proof_to_dict
 from ..stark.verifier import verify
@@ -157,6 +166,14 @@ class CompositeProof:
     ed_proof: StarkProof
     n_ed_segments: int
     signers: list[LaneSig]
+    # Challenge-hash proof: SHA-512 STARK over every signer's k-preimage
+    # R ‖ A ‖ M, Fiat–Shamir-chained after the Ed25519 proof. The composite
+    # verifier is sound without it (check_lane_publics recomputes the hash
+    # natively), but with it the k-derivation is PROVEN — the table the
+    # reference proves in-circuit (verify.rs:248-259) — so a constrained
+    # (e.g. on-chain) verifier never hashes message bytes itself.
+    sha512_proof: StarkProof | None = None
+    n_sha512_blocks: int = 0
 
     def to_dict(self) -> dict:
         return {
@@ -168,6 +185,14 @@ class CompositeProof:
             "hash_bundle": self.hash_bundle.to_dict(),
             "ed_proof": stark_proof_to_dict(self.ed_proof),
             "n_ed_segments": self.n_ed_segments,
+            **(
+                {
+                    "sha512_proof": stark_proof_to_dict(self.sha512_proof),
+                    "n_sha512_blocks": self.n_sha512_blocks,
+                }
+                if self.sha512_proof is not None
+                else {}
+            ),
             "signers": [
                 {
                     "index": s.index,
@@ -190,6 +215,12 @@ class CompositeProof:
             hash_bundle=HashBundle.from_dict(d["hash_bundle"]),
             ed_proof=stark_proof_from_dict(d["ed_proof"]),
             n_ed_segments=int(d["n_ed_segments"]),
+            sha512_proof=(
+                stark_proof_from_dict(d["sha512_proof"])
+                if d.get("sha512_proof") is not None
+                else None
+            ),
+            n_sha512_blocks=int(d.get("n_sha512_blocks", 0)),
             signers=[
                 LaneSig(
                     index=int(s["index"]),
@@ -208,7 +239,7 @@ class CompositeProof:
 
 def _prove_ed_lanes(
     lanes, nb: int, seed: list[int], ed_config: StarkConfig
-) -> tuple[StarkProof, int, list[LaneSig]]:
+) -> tuple[StarkProof, int, list[LaneSig], list[bytes]]:
     signers = []
     pks, msgs, sigs = [], [], []
     for i, l in enumerate(lanes[:nb]):
@@ -218,6 +249,7 @@ def _prove_ed_lanes(
             pks.append(l.pubkey)
             msgs.append(m)
             sigs.append(l.signature)
+    signer_pks = list(pks)
     B = max(_next_pow2(len(signers)), 1)
     while len(pks) < B:
         pks.append(DUMMY_PUBLIC_KEY)
@@ -225,7 +257,39 @@ def _prove_ed_lanes(
         sigs.append(DUMMY_SIGNATURE)
     trace, publics = ed25519_air_trace(pks, msgs, sigs)
     proof = prove(Ed25519Air(B), trace, publics, ed_config, transcript_seed=seed)
-    return proof, B, signers
+    return proof, B, signers, signer_pks
+
+
+def _challenge_blocks(signers: list[LaneSig], signer_pks: list[bytes]):
+    """Deterministic SHA-512 block schedule for the signers' challenge
+    preimages R ‖ A ‖ M, padded to a power-of-two block count with
+    standalone empty-message blocks."""
+    msgs = [
+        ls.signature[:32] + pk + ls.message
+        for ls, pk in zip(signers, signer_pks)
+    ]
+    blocks, chain, spans = schedule_messages_512(msgs)
+    target = max(_next_pow2(len(blocks)), 1)
+    while len(blocks) < target:
+        blocks.append(pad_message_512(b"")[0])
+        chain.append(0)
+    return blocks, chain, spans
+
+
+def _prove_challenge_hashes(
+    signers: list[LaneSig],
+    signer_pks: list[bytes],
+    seed: list[int],
+    config: StarkConfig,
+) -> tuple[StarkProof | None, int]:
+    if not signers:
+        return None, 0
+    blocks, chain, _ = _challenge_blocks(signers, signer_pks)
+    trace, publics = sha512_batch_trace(blocks, chain)
+    proof = prove(
+        Sha512Air(len(blocks)), trace, publics, config, transcript_seed=seed
+    )
+    return proof, len(blocks)
 
 
 def prove_skip_composite(
@@ -244,8 +308,21 @@ def prove_skip_composite(
     seed_e = _seed_felts(
         abi_in, abi_out, roots=[hb.proof.trace_root, hb.proof.quotient_root]
     )
-    ed_proof, B, signers = _prove_ed_lanes(
+    ed_proof, B, signers, signer_pks = _prove_ed_lanes(
         inputs.target_block_validators, inputs.nb_target_validators, seed_e, ed_config
+    )
+    seed_c = _seed_felts(
+        abi_in,
+        abi_out,
+        roots=[
+            hb.proof.trace_root,
+            hb.proof.quotient_root,
+            ed_proof.trace_root,
+            ed_proof.quotient_root,
+        ],
+    )
+    ch_proof, n_blocks = _prove_challenge_hashes(
+        signers, signer_pks, seed_c, ed_config
     )
     return CompositeProof(
         kind="skip",
@@ -256,6 +333,8 @@ def prove_skip_composite(
         ed_proof=ed_proof,
         n_ed_segments=B,
         signers=signers,
+        sha512_proof=ch_proof,
+        n_sha512_blocks=n_blocks,
     )
 
 
@@ -274,8 +353,21 @@ def prove_step_composite(
     seed_e = _seed_felts(
         abi_in, abi_out, roots=[hb.proof.trace_root, hb.proof.quotient_root]
     )
-    ed_proof, B, signers = _prove_ed_lanes(
+    ed_proof, B, signers, signer_pks = _prove_ed_lanes(
         inputs.next_block_validators, inputs.nb_validators, seed_e, ed_config
+    )
+    seed_c = _seed_felts(
+        abi_in,
+        abi_out,
+        roots=[
+            hb.proof.trace_root,
+            hb.proof.quotient_root,
+            ed_proof.trace_root,
+            ed_proof.quotient_root,
+        ],
+    )
+    ch_proof, n_blocks = _prove_challenge_hashes(
+        signers, signer_pks, seed_c, ed_config
     )
     return CompositeProof(
         kind="step",
@@ -286,6 +378,8 @@ def prove_step_composite(
         ed_proof=ed_proof,
         n_ed_segments=B,
         signers=signers,
+        sha512_proof=ch_proof,
+        n_sha512_blocks=n_blocks,
     )
 
 
@@ -347,6 +441,59 @@ def _verify_common(
     signed_power = sum(vals[ls.index][1] for ls in proof.signers)
     if not signed_power * 3 > total * 2:
         return None
+
+    # Optional challenge-hash proof: when present it must verify against
+    # the chained transcript, its message blocks must be exactly the
+    # R ‖ A ‖ M preimages this verifier assembles from proven data, and
+    # each signer's proven digest must reduce (mod L) to the k scalar the
+    # Ed25519 proof used. Presence never weakens soundness (the lane
+    # checks above recompute the hash natively); it makes the k-derivation
+    # proven, matching the reference's in-circuit SHA-512 table.
+    if proof.sha512_proof is not None:
+        if not proof.signers:
+            return None
+        blocks, chain, spans = _challenge_blocks(proof.signers, signer_pks)
+        if proof.n_sha512_blocks != len(blocks):
+            return None
+        seed_c = _seed_felts(
+            proof.abi_inputs,
+            proof.abi_output,
+            roots=list(hash_roots)
+            + [proof.ed_proof.trace_root, proof.ed_proof.quotient_root],
+        )
+        if not verify(
+            Sha512Air(len(blocks)),
+            proof.sha512_proof,
+            ed_config,
+            transcript_seed=seed_c,
+        ):
+            return None
+        pubs = proof.sha512_proof.public_inputs
+        if len(pubs) != PUB_PER_SHA512_SEGMENT * len(blocks):
+            return None
+        for s, blk in enumerate(blocks):
+            base = PUB_PER_SHA512_SEGMENT * s
+            for i in range(16):
+                word = int.from_bytes(blk[8 * i : 8 * i + 8], "big")
+                if int(pubs[base + 2 * i]) != word & 0xFFFFFFFF:
+                    return None
+                if int(pubs[base + 2 * i + 1]) != word >> 32:
+                    return None
+            if int(pubs[base + 48]) != chain[s]:
+                return None
+        for lane, (first, n_seg) in enumerate(spans):
+            last = PUB_PER_SHA512_SEGMENT * (first + n_seg - 1)
+            digest = digest_halves_to_bytes(
+                [int(v) for v in pubs[last + 32 : last + 48]]
+            )
+            k = int.from_bytes(digest, "little") % L_ORDER
+            seg = publics[PUB_PER_SIG * lane : PUB_PER_SIG * (lane + 1)]
+            if any(
+                int(seg[20 + i]) != ((k >> (13 * i)) & 0x1FFF)
+                for i in range(20)
+            ):
+                return None
+
     return vals, set(signer_pks)
 
 

@@ -109,6 +109,22 @@ def test_skip_composite_end_to_end():
     bad.abi_inputs = encode_skip_input(tb, bytes(th), tgt)
     assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX) is None
 
+    # challenge-hash proof is present and its digests are cross-checked:
+    # tampering its publics fails, claiming a wrong block count fails
+    assert proof2.sha512_proof is not None
+    bad = copy.deepcopy(proof2)
+    bad.sha512_proof.public_inputs[0] ^= 1
+    assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX) is None
+    bad = copy.deepcopy(proof2)
+    bad.n_sha512_blocks *= 2
+    assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX) is None
+    # without the optional proof the composite still verifies (the lane
+    # checks recompute the hash natively)
+    bare = copy.deepcopy(proof2)
+    bare.sha512_proof = None
+    bare.n_sha512_blocks = 0
+    assert verify_skip_composite(bare, CHAIN_ID, SKIP_MAX) == (1, trusted, 5, target)
+
 
 def test_operator_composite_gate():
     """prove_composite: the operator's head advance is gated on standalone
