@@ -34,16 +34,36 @@ def _next_layer(layer: GF) -> GF:
 
 
 @jax.jit
-def _build_all_layers(rows: GF) -> list[GF]:
-    """Leaf hashes + every tree layer as ONE compiled program: a per-layer
-    dispatch loop costs a device round-trip per layer, which through the
-    remote-TPU relay dominates small-tree builds (FRI commits one tree per
-    fold layer)."""
-    layers = [ps.hash_no_pad(rows)]
-    while layers[-1].shape[0] > 1:
-        cur = layers[-1]
-        layers.append(ps.two_to_one(cur[0::2], cur[1::2]))
-    return layers
+def _inner_layers(leaves: GF) -> GF:
+    """Every inner tree layer from (n, 4) leaf digests as ONE compiled
+    program containing ONE rolled compression loop.
+
+    Returns (levels, n/2, 4) where layer l's real nodes are the first
+    n >> (l+1) rows (the rest is padding garbage from re-concatenation —
+    the fixed (n/2, 4) buffer keeps every loop iteration the same shape,
+    so the whole tree costs two compiled Poseidon graphs per n, SHARED
+    across all row widths and all FRI layer trees of that size, instead of
+    log2(n) distinct shapes per (n, width). On the remote-TPU backend the
+    per-process compile time of those graphs dominates the prover."""
+    n = leaves.shape[0]
+    levels = n.bit_length() - 1  # inner layers: sizes n/2 .. 1
+    half = n // 2
+    first = ps.two_to_one(leaves[0::2], leaves[1::2])  # (n/2, 4)
+    out = GF(
+        jnp.zeros((levels, half, 4), jnp.uint32),
+        jnp.zeros((levels, half, 4), jnp.uint32),
+    )
+    out = GF(out.lo.at[0].set(first.lo), out.hi.at[0].set(first.hi))
+
+    def body(l, carry):
+        D, acc = carry
+        res = ps.two_to_one(D[0::2], D[1::2])  # (n/4, 4); prefix real
+        D2 = GF.concatenate([res, res], axis=0)  # back to (n/2, 4)
+        acc = GF(acc.lo.at[l].set(D2.lo), acc.hi.at[l].set(D2.hi))
+        return (D2, acc)
+
+    _, out = jax.lax.fori_loop(1, levels, body, (first, out))
+    return out
 
 
 class MerkleTree:
@@ -78,14 +98,21 @@ class MerkleTree:
         """rows: (n_leaves, width) GF on device; n_leaves a power of two.
         leaf_fn optionally overrides the leaf hash (e.g. the row-sharded
         sponge from parallel/prover.py); it must equal hash_no_pad."""
-        n = rows.shape[0]
+        n = int(rows.shape[0])
         assert n & (n - 1) == 0, "n_leaves must be a power of two"
-        if leaf_fn is None:
-            return cls(_build_all_layers(rows))
-        digests = [leaf_fn(rows)]
-        while digests[-1].shape[0] > 1:
-            digests.append(_next_layer(digests[-1]))
-        return cls(digests)
+        leaves = (leaf_fn or _leaf_hashes)(rows)
+        if n == 1:
+            return cls([leaves])
+        inner = _inner_layers(leaves)
+        levels = n.bit_length() - 1
+        dev_layers = [leaves] + [
+            GF(
+                inner.lo[l, : max(n >> (l + 1), 1)],
+                inner.hi[l, : max(n >> (l + 1), 1)],
+            )
+            for l in range(levels)
+        ]
+        return cls(dev_layers)
 
     def open(self, index: int) -> list[list[int]]:
         """Sibling path from leaf `index` to the root (exclusive)."""
