@@ -178,3 +178,79 @@ def sharded_deep_fn(mesh, air, log_n: int, rate_bits: int):
         )
 
     return jax.jit(fn)
+
+
+def sharded_fold_fn(mesh):
+    """Row-sharded FRI fold (SURVEY §2c axis 4: FRI collectives over ICI).
+
+    A fold pairs positions (i, i + N/2): with evals row-sharded over D
+    devices, device d's OUTPUT block [d·N/2D, (d+1)·N/2D) needs the E half
+    from (device d//2, local half d%2) and the O half from (device
+    D/2 + d//2, same local half) — four partial ppermutes move exactly one
+    N/2D-sized piece to every device, then the fold itself is local:
+
+        out = (E + O)/2 + beta · (E - O) · (2x)^{-1}
+
+    Same values as fri._fold_layer (proof bytes identical). Requires D
+    even and N ≥ 2·D."""
+    from ..ops.goldilocks import P as P_GOLD
+
+    ax = _axis(mesh)
+    D = _mesh_size(mesh)
+    assert D % 2 == 0, "sharded fold needs an even mesh"
+    inv2 = pow(2, P_GOLD - 2, P_GOLD)
+
+    def _route(piece: GF, pairs) -> GF:
+        return GF(
+            jax.lax.ppermute(piece.lo, ax, pairs),
+            jax.lax.ppermute(piece.hi, ax, pairs),
+        )
+
+    pe0 = [(s, 2 * s) for s in range(D // 2)]
+    pe1 = [(s, 2 * s + 1) for s in range(D // 2)]
+    po0 = [(s, 2 * (s - D // 2)) for s in range(D // 2, D)]
+    po1 = [(s, 2 * (s - D // 2) + 1) for s in range(D // 2, D)]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(ax), P(ax), P(None)),
+        out_specs=P(ax),
+    )
+    def fn(evals: GF2, invx: GF, beta: GF2) -> GF2:
+        half = evals.shape[0] // 2
+        h0 = evals[:half]
+        h1 = evals[half:]
+        odd = (jax.lax.axis_index(ax) % 2 == 1)
+
+        def pick(a: GF2, b: GF2) -> GF2:
+            return GF2(
+                GF(
+                    jnp.where(odd, b.c0.lo, a.c0.lo),
+                    jnp.where(odd, b.c0.hi, a.c0.hi),
+                ),
+                GF(
+                    jnp.where(odd, b.c1.lo, a.c1.lo),
+                    jnp.where(odd, b.c1.hi, a.c1.hi),
+                ),
+            )
+
+        e = pick(
+            GF2(_route(h0.c0, pe0), _route(h0.c1, pe0)),
+            GF2(_route(h1.c0, pe1), _route(h1.c1, pe1)),
+        )
+        o = pick(
+            GF2(_route(h0.c0, po0), _route(h0.c1, po0)),
+            GF2(_route(h1.c0, po1), _route(h1.c1, po1)),
+        )
+        s = e + o
+        d_ = e - o
+        s_half = GF2(s.c0.cmul(inv2), s.c1.cmul(inv2))
+        d_scaled = GF2(d_.c0 * invx, d_.c1 * invx)
+        nloc = s_half.c0.shape[0]
+        beta_b = GF2(
+            beta.c0.broadcast_to((nloc,)), beta.c1.broadcast_to((nloc,))
+        )
+        return s_half + (beta_b * d_scaled)
+
+    return jax.jit(fn)

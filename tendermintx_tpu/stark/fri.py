@@ -113,17 +113,36 @@ def _commit_layer(evals: GF2) -> MerkleTree:
 # ---------------------------------------------------------------------------
 
 
+_SHARDED_FOLD_CACHE: dict = {}
+
+
 def fri_prove(
     evals: GF2,
     challenger: Challenger,
     config: FriConfig,
     shift: int = MULTIPLICATIVE_GENERATOR,
+    mesh=None,
 ) -> FriProof:
     """Prove that `evals` (on coset shift*<w_N>, natural order) is the LDE of
-    a polynomial of degree < N / 2^rate_bits."""
+    a polynomial of degree < N / 2^rate_bits.
+
+    mesh: optional device mesh — large fold layers run as row-sharded
+    collective folds (parallel/prover.py::sharded_fold_fn); small layers
+    and everything else stay single-chip. Proof bytes are identical."""
     n = int(evals.shape[0])
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
+
+    fold_sh = None
+    n_dev = 0
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        if n_dev >= 2 and n_dev % 2 == 0:
+            if mesh not in _SHARDED_FOLD_CACHE:
+                from ..parallel.prover import sharded_fold_fn
+
+                _SHARDED_FOLD_CACHE[mesh] = sharded_fold_fn(mesh)
+            fold_sh = _SHARDED_FOLD_CACHE[mesh]
 
     layers: list[GF2] = [evals]
     trees: list[MerkleTree] = []
@@ -144,7 +163,10 @@ def fri_prove(
         beta_gf2 = GF2(
             _gf_scalar(beta[0], (1,)), _gf_scalar(beta[1], (1,))
         )
-        cur = _fold_jit(cur, beta_gf2, invx_gf)
+        if fold_sh is not None and cur_n >= 4 * n_dev:
+            cur = fold_sh(cur, invx_gf, beta_gf2)
+        else:
+            cur = _fold_jit(cur, beta_gf2, invx_gf)
         cur_shift = cur_shift * cur_shift % P
         cur_n //= 2
         layers.append(cur)
@@ -265,7 +287,10 @@ def _grind_fn(pow_bits: int, batch: int):
     return f
 
 
-def grind(seed: int, pow_bits: int, batch: int = 1 << 14) -> int:
+def grind(seed: int, pow_bits: int, batch: int = 1 << 18) -> int:
+    # batch default covers ~4x the expected 2^pow_bits search in ONE
+    # launch: each found-flag fetch through the TPU relay costs ~0.7 s,
+    # far more than hashing the extra candidates
     """Find nonce with poseidon_hash([seed, nonce])[0] ≡ 0 mod 2^pow_bits.
 
     On an accelerator backend the ~2^pow_bits candidates are searched in

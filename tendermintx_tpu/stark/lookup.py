@@ -116,17 +116,12 @@ class RangeLookup:
         if vals.size and (vals.min() < 0 or vals.max() >= self.table_size):
             raise ValueError("range-check witness value out of table range")
         counts = np.bincount(vals, minlength=self.table_size)
-        table = self._table_values()
-        out = np.zeros_like(table)
-        # place each value's total count at its FIRST occurrence in the table
-        seen = set()
+        out = np.zeros((self.width, self.n_rows), dtype=np.uint32)
+        # each value's total count goes at its FIRST table occurrence; the
+        # table layout is value v at (v // span, v % span) within the first
+        # `span` rows, so the placement is one reshape
         span = min(self.n_rows, self.table_size)
-        for j in range(self.width):
-            for i in range(span):
-                v = int(table[j, i])
-                if v not in seen:
-                    seen.add(v)
-                    out[j, i] = counts[v]
+        out[:, :span] = counts[: self.width * span].reshape(self.width, span)
         return out
 
     # -- prover: aux columns (device) -----------------------------------------

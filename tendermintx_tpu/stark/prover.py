@@ -90,6 +90,36 @@ def _domain_points(log_N: int, shift: int) -> list[int]:
     return pts
 
 
+@lru_cache(maxsize=None)
+def _domain_points_limbs(log_N: int, shift: int):
+    return from_int_array(np.array(_domain_points(log_N, shift), dtype=object))
+
+
+@lru_cache(maxsize=None)
+def _deep_invs_fn(log_N: int):
+    """Jitted (x - z_g)^-1 over the whole LDE domain for every opening
+    group: the host Montgomery-batch loop this replaces ran ~N * n_offsets
+    big-int muls per proof (~7 s at N=65536) on the critical path."""
+
+    @jax.jit
+    def f(pts: GF, zk0: GF, zk1: GF) -> GF2:
+        # pts (N,); zk0/zk1 (k,) ext components of the opening points
+        k = zk0.shape[0]
+        N = pts.lo.shape[0]
+        c0 = GF(pts.lo[None, :], pts.hi[None, :]).broadcast_to((k, N)) - GF(
+            jnp.broadcast_to(zk0.lo[:, None], (k, N)),
+            jnp.broadcast_to(zk0.hi[:, None], (k, N)),
+        )
+        nz1 = -zk1
+        c1 = GF(
+            jnp.broadcast_to(nz1.lo[:, None], (k, N)),
+            jnp.broadcast_to(nz1.hi[:, None], (k, N)),
+        )
+        return GF2(c0, c1).inv()
+
+    return f
+
+
 def _batch_inverse(vals: list[int]) -> list[int]:
     """Montgomery batch inversion over Python ints."""
     n = len(vals)
@@ -637,7 +667,16 @@ def prove(
     zpow = _zpowers_fn(_ext_scalar(z), n)
     gk = _np_gf(_gk_table(log_n, tuple(offsets)))
     ood_dev = _ood_trace_fn(all_coeffs, zpow, gk)  # (n_offsets, n_total)
-    od_c0, od_c1 = ood_dev.to_ints()
+    chunk_ext = GF2(
+        GF(chunk_stack.lo[0::2], chunk_stack.hi[0::2]),
+        GF(chunk_stack.lo[1::2], chunk_stack.hi[1::2]),
+    )
+    oq_dev = _ood_ext_fn(chunk_ext, zpow)
+    from ..ops.goldilocks import fetch_ints_many as _fetch_many
+
+    od_c0, od_c1, oq_c0, oq_c1 = _fetch_many(
+        [ood_dev.c0, ood_dev.c1, oq_dev.c0, oq_dev.c1]
+    )  # one relay round-trip for all OOD values
     ood_trace = [
         [
             (int(od_c0[ki][i]), int(od_c1[ki][i]))
@@ -645,12 +684,6 @@ def prove(
         ]
         for ki in range(len(offsets))
     ]
-    chunk_ext = GF2(
-        GF(chunk_stack.lo[0::2], chunk_stack.hi[0::2]),
-        GF(chunk_stack.lo[1::2], chunk_stack.hi[1::2]),
-    )
-    oq_dev = _ood_ext_fn(chunk_ext, zpow)
-    oq_c0, oq_c1 = oq_dev.to_ints()
     ood_quot = [(int(oq_c0[j]), int(oq_c1[j])) for j in range(n_chunks)]
     for per_offset in ood_trace:
         for v in per_offset:
@@ -665,14 +698,13 @@ def prove(
     #    trace cols. F = sum_g (G(x) - G(z_g)) / (x - z_g). Single jitted
     #    program; beta powers, OOD sums and denominator inverses are small
     #    host-side inputs.
-    pts = _domain_points(log_n + rate_bits, shift)
     betas_t = []  # per offset, per col
     betas_q = []
     g0_list = []
-    inv_rows = []
+    zk_list = []
     b_pow = (1, 0)
     for gi, k in enumerate(offsets):
-        zk = ext_mul(z, (pow(g_trace, k, P), 0))
+        zk_list.append(ext_mul(z, (pow(g_trace, k, P), 0)))
         row_betas = []
         G0 = (0, 0)
         for i in range(n_total):
@@ -686,12 +718,15 @@ def prove(
                 b_pow = ext_mul(b_pow, beta)
         betas_t.append(row_betas)
         g0_list.append(G0)
-        inv_rows.append(_batch_ext_inv([ext_sub((x, 0), zk) for x in pts]))
 
     betas_t_gf2 = GF2.stack([_ext_list_to_gf2(r) for r in betas_t], axis=0)
     betas_q_gf2 = _ext_list_to_gf2(betas_q)
     g0s_gf2 = _ext_list_to_gf2(g0_list)
-    invs_gf2 = GF2.stack([_ext_list_to_gf2(r) for r in inv_rows], axis=0)
+    pts_lo, pts_hi = _domain_points_limbs(log_n + rate_bits, shift)
+    zks = _ext_list_to_gf2(zk_list)
+    invs_gf2 = _deep_invs_fn(log_n + rate_bits)(
+        GF(jnp.asarray(pts_lo), jnp.asarray(pts_hi)), zks.c0, zks.c1
+    )
     chunks_gf2 = GF2.stack(chunk_ldes, axis=0)  # (n_chunks, N)
 
     F = deep_fn(
@@ -700,7 +735,7 @@ def prove(
     _mark("deep")
 
     # 6. FRI low-degree proof (degree bound n on domain N).
-    fri_proof = fri_prove(F, challenger, config.fri, shift)
+    fri_proof = fri_prove(F, challenger, config.fri, shift, mesh=mesh)
     _mark("fri")
 
     # 7. Openings at the FRI query indices: gather ONLY the queried rows on
