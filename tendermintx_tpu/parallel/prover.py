@@ -254,3 +254,78 @@ def sharded_fold_fn(mesh):
         return s_half + (beta_b * d_scaled)
 
     return jax.jit(fn)
+
+
+def sharded_ntt_fn(mesh, log_n: int):
+    """Intra-NTT all-to-all (SURVEY §2c axis 3): one length-2^log_n NTT
+    sharded across the mesh via the four-step (Bailey) decomposition.
+
+    With N = R·C, R = D devices, coefficients row-major x[r·C + c]:
+
+        A[p, c] = DFT_R over r of x[·C + c]          (cross-device dim)
+        B[p, c] = A[p, c] · w_N^{p·c}                (twiddle)
+        X[q·R + p] = DFT_C over c of B[p, ·] at q    (in-device dim)
+
+    Three all_to_alls move the data so each DFT is local: columns to
+    devices for DFT_R, rows back for DFT_C, and a final transpose into
+    natural output order. Matches ops/ntt.ntt exactly (same values, same
+    order) — this is the communication pattern that scales a SINGLE
+    polynomial column beyond one chip's memory; for columns that fit one
+    chip the embarrassingly-parallel per-column sharding in
+    sharded_trace_lde is faster (no collectives)."""
+    from ..ops.goldilocks import from_int_array, P as P_GOLD
+
+    ax = _axis(mesh)
+    D = _mesh_size(mesh)
+    N = 1 << log_n
+    C = N // D
+    assert C % D == 0, "need N >= D^2 for the four-step layout"
+    w = nttmod.primitive_root_of_unity(log_n)
+    # tw[p, c] = w^(p*c), sharded over c
+    import numpy as np
+
+    rows = []
+    for p in range(D):
+        base = pow(w, p, P_GOLD)
+        acc = 1
+        row = [0] * C
+        for c in range(C):
+            row[c] = acc
+            acc = acc * base % P_GOLD
+        rows.append(row)
+    tw_lo, tw_hi = from_int_array(np.array(rows, dtype=object))
+
+    def _a2a(x: GF, split: int, concat: int) -> GF:
+        # tiled=True: plain split-D/concat source-major semantics (the
+        # non-tiled form interleaves received chunks element-wise)
+        return GF(
+            jax.lax.all_to_all(x.lo, ax, split, concat, tiled=True),
+            jax.lax.all_to_all(x.hi, ax, split, concat, tiled=True),
+        )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(ax), P(None, ax)),
+        out_specs=P(ax),
+    )
+    def fn(x: GF, tw: GF) -> GF:
+        # x local: (C,) = row r = my device index
+        blk = x.reshape(D, C // D)
+        cols = _a2a(blk, 0, 0)  # (D, C/D): all rows r, my c-chunk
+        # DFT_R along axis 0
+        a = nttmod.ntt(GF(cols.lo.T, cols.hi.T))  # (C/D, D) over r
+        a = GF(a.lo.T, a.hi.T)  # (D, C/D): [p, c_loc]
+        b = a * tw  # twiddle w^(p*c), tw sharded to my c-chunk
+        rows_p = _a2a(b, 0, 1)  # (1, C)? -> row p = my index, all c
+        rows_p = rows_p.reshape(C)
+        f = nttmod.ntt(rows_p)  # (C,) over q, natural
+        # final transpose to natural k = q*R + p order
+        out = _a2a(f.reshape(D, C // D), 0, 0)  # (D, C/D): [p, q_loc]
+        out = GF(out.lo.T, out.hi.T)  # (C/D, D): [q_loc, p]
+        return out.reshape(C)
+
+    def wrapped(coeffs: GF) -> GF:
+        return fn(coeffs, GF(jnp.asarray(tw_lo), jnp.asarray(tw_hi)))
+
+    return jax.jit(wrapped)

@@ -83,3 +83,27 @@ def test_sharded_lane_checks_matches_single(mesh):
     got_signed = int(signed_power[0]) | (int(signed_power[1]) << 32)
     assert got_total == want_total
     assert got_signed == want_signed
+
+
+def test_sharded_ntt_matches_single(mesh):
+    """Four-step all-to-all NTT (SURVEY §2c axis 3) must equal the
+    single-chip NTT exactly, values and order."""
+    import numpy as np
+
+    from tendermintx_tpu.ops import ntt as nttmod
+    from tendermintx_tpu.ops.goldilocks import GF, P
+    from tendermintx_tpu.parallel.prover import sharded_ntt_fn
+
+    rng = np.random.default_rng(11)
+    for log_n in (6, 9, 12):
+        n = 1 << log_n
+        coeffs = GF.from_ints(
+            np.array(
+                [int(rng.integers(0, 2**63)) % P for _ in range(n)],
+                dtype=object,
+            )
+        )
+        want = nttmod.ntt(coeffs)
+        got = sharded_ntt_fn(mesh, log_n)(coeffs)
+        assert (np.asarray(want.lo) == np.asarray(got.lo)).all()
+        assert (np.asarray(want.hi) == np.asarray(got.hi)).all()
