@@ -13,7 +13,7 @@ JAX_PLATFORMS=cpu to force CPU). Metrics, most meaningful first:
     kernel throughputs (poseidon vs_baseline: plonky2's ~1e6 hashes/s/core).
 
 The primary line reports the deepest metric that completes within the time
-budget (TMX_BENCH_BUDGET seconds, default 1500); everything measured lands
+budget (TMX_BENCH_BUDGET seconds, default 3600); everything measured lands
 in "extras". TMX_BENCH_N sets the composite validator count (default 32;
 128 is the Celestia-scale target and needs a warm compile cache).
 """
@@ -40,7 +40,7 @@ from tendermintx_tpu.ops.goldilocks import GF
 BASELINE_HASHES_PER_S = 1.0e6  # plonky2 Poseidon, one CPU core (proxy)
 BASELINE_PROOF_SECONDS = 300.0  # reference skip proof: 4-10 min published
 
-BUDGET = float(os.environ.get("TMX_BENCH_BUDGET", "1500"))
+BUDGET = float(os.environ.get("TMX_BENCH_BUDGET", "3600"))
 _START = time.time()
 
 
