@@ -85,6 +85,38 @@ def bench_poseidon(batch: int = 1 << 15, iters: int = 64, reps: int = 3) -> floa
     return batch * iters / times[len(times) // 2]
 
 
+def bench_poseidon_pallas(batch: int = 1 << 15, iters: int = 16, reps: int = 3):
+    """Pallas-kernel permutation throughput, or None if the backend can't
+    run Mosaic custom calls (the XLA path stays the default either way)."""
+    import numpy as np
+
+    from tendermintx_tpu.ops import poseidon_pallas as pp
+
+    if not pp.available():
+        return None
+
+    @jax.jit
+    def run(states: GF):
+        def body(_, s):
+            return pp.permute_lanes(s)
+
+        out = jax.lax.fori_loop(0, iters, body, states)
+        return jnp.sum(out.lo, dtype=jnp.uint32) + jnp.sum(out.hi, dtype=jnp.uint32)
+
+    def make(seed: int) -> GF:
+        lo = jnp.arange(12 * batch, dtype=jnp.uint32).reshape(12, batch) + seed
+        return GF(lo, jnp.zeros_like(lo))
+
+    int(np.asarray(run(make(0))))
+    times = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        int(np.asarray(run(make(r + 1))))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return batch * iters / times[len(times) // 2]
+
+
 def bench_ntt(cols: int = 64, log_n: int = 16, rate_bits: int = 3, reps: int = 3) -> float:
     """Batched iNTT + coset LDE throughput, field elements/s (input side)."""
     import numpy as np
@@ -217,6 +249,14 @@ def main():
         }
     except Exception as e:  # noqa: BLE001 — record and move on
         extras["poseidon_error"] = repr(e)
+
+    if _left() > 60:
+        try:
+            hps_p = bench_poseidon_pallas()
+            if hps_p is not None:
+                extras["pallas_poseidon_hashes_per_s"] = round(hps_p, 1)
+        except Exception as e:  # noqa: BLE001
+            extras["pallas_error"] = repr(e)
 
     if _left() > 60:
         try:

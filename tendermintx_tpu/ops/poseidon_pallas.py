@@ -1,0 +1,230 @@
+"""Pallas TPU kernel for the Poseidon permutation.
+
+The XLA path (ops/poseidon.py::permute) dispatches the 30-round loop as a
+fori_loop whose (B, 12) carry round-trips HBM every iteration. This kernel
+holds the state in VMEM for the whole permutation and runs the MDS layer
+as bf16 dot_generals on the MXU, one per 8-bit limb plane (identical exact
+arithmetic to the XLA path — integers <= 255 are exact in bfloat16,
+products < 2^15 and 12-lane sums < 2^19 are exact in the f32 accumulator).
+
+Layout is lane-major: states are (12, B) with the batch along the 128-wide
+vector lanes (a (B, 12) last-dim-12 layout wastes 90% of every register).
+
+`permute_lanes(state)` mirrors ops/poseidon.py::permute but on (12, B)
+arrays; `available()` probes whether the backend can compile the kernel
+(the remote-TPU relay may not support Mosaic custom calls — callers fall
+back to the XLA path)."""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import poseidon as ps
+from .goldilocks import GF
+
+BLOCK = 512  # batch elements per grid step (lane dimension)
+
+
+def _params():
+    from .goldilocks import from_int_array
+
+    rc_lo, rc_hi = from_int_array(np.array(ps.round_constants(), dtype=object))
+    mds = np.array(ps.mds_matrix(), dtype=np.float32)  # (12, 12) out=M@s
+    return rc_lo, rc_hi, mds
+
+
+def _kernel(rc_lo_ref, rc_hi_ref, mds_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+    """One grid step: permute (12, BLOCK) states entirely in VMEM."""
+    M16 = jnp.uint32(0xFFFF)
+
+    def mul32(a, b):
+        a0 = a & M16
+        a1 = a >> 16
+        b0 = b & M16
+        b1 = b >> 16
+        p00 = a0 * b0
+        mid = a0 * b1 + a1 * b0  # may wrap: carry recovered below
+        mid_c = (mid < a0 * b1).astype(jnp.uint32)
+        lo = p00 + (mid << 16)
+        lo_c = (lo < p00).astype(jnp.uint32)
+        hi = a1 * b1 + (mid >> 16) + (mid_c << 16) + lo_c
+        return lo, hi
+
+    P_LO = jnp.uint32(1)
+    P_HI = jnp.uint32(0xFFFFFFFF)
+    EPS = jnp.uint32(0xFFFFFFFF)
+
+    def add64(alo, ahi, blo, bhi):
+        lo = alo + blo
+        c0 = (lo < alo).astype(jnp.uint32)
+        hi1 = ahi + bhi
+        c1 = (hi1 < ahi).astype(jnp.uint32)
+        hi = hi1 + c0
+        c2 = (hi < hi1).astype(jnp.uint32)
+        return lo, hi, c1 | c2
+
+    def sub64(alo, ahi, blo, bhi):
+        lo = alo - blo
+        b0 = (alo < blo).astype(jnp.uint32)
+        hi1 = ahi - bhi
+        b1 = (ahi < bhi).astype(jnp.uint32)
+        hi = hi1 - b0
+        b2 = (hi1 < b0).astype(jnp.uint32)
+        return lo, hi, b1 | b2
+
+    def cond_sub_p(lo, hi):
+        need = (hi == P_HI) & (lo >= P_LO)
+        slo, shi, _ = sub64(lo, hi, P_LO, P_HI)
+        return jnp.where(need, slo, lo), jnp.where(need, shi, hi)
+
+    def reduce128(r0, r1, r2, r3):
+        t_lo, t_hi, borrow = sub64(r0, r1, r3, jnp.uint32(0))
+        a_lo, a_hi, _ = sub64(t_lo, t_hi, EPS, jnp.uint32(0))
+        t_lo = jnp.where(borrow.astype(bool), a_lo, t_lo)
+        t_hi = jnp.where(borrow.astype(bool), a_hi, t_hi)
+        m_lo = jnp.uint32(0) - r2
+        m_hi = r2 - (r2 != 0).astype(jnp.uint32)
+        s_lo, s_hi, carry = add64(t_lo, t_hi, m_lo, m_hi)
+        a_lo, a_hi, _ = add64(s_lo, s_hi, EPS, jnp.uint32(0))
+        s_lo = jnp.where(carry.astype(bool), a_lo, s_lo)
+        s_hi = jnp.where(carry.astype(bool), a_hi, s_hi)
+        return cond_sub_p(s_lo, s_hi)
+
+    def gmul(alo, ahi, blo, bhi):
+        l00, h00 = mul32(alo, blo)
+        l01, h01 = mul32(alo, bhi)
+        l10, h10 = mul32(ahi, blo)
+        l11, h11 = mul32(ahi, bhi)
+        r0 = l00
+        r1 = h00 + l01
+        c1a = (r1 < h00).astype(jnp.uint32)
+        r1b = r1 + l10
+        c1b = (r1b < r1).astype(jnp.uint32)
+        r2 = h01 + h10
+        c2a = (r2 < h01).astype(jnp.uint32)
+        r2b = r2 + l11
+        c2b = (r2b < r2).astype(jnp.uint32)
+        r2c = r2b + c1a + c1b
+        c2c = (r2c < r2b).astype(jnp.uint32)
+        r3 = h11 + c2a + c2b + c2c
+        return reduce128(r0, r1b, r2c, r3)
+
+    def gadd(alo, ahi, blo, bhi):
+        lo, hi, carry = add64(alo, ahi, blo, bhi)
+        a_lo, a_hi, _ = add64(lo, hi, EPS, jnp.uint32(0))
+        lo = jnp.where(carry.astype(bool), a_lo, lo)
+        hi = jnp.where(carry.astype(bool), a_hi, hi)
+        return cond_sub_p(lo, hi)
+
+    def sbox(lo, hi):
+        l2, h2 = gmul(lo, hi, lo, hi)
+        l3, h3 = gmul(l2, h2, lo, hi)
+        l4, h4 = gmul(l2, h2, l2, h2)
+        return gmul(l3, h3, l4, h4)
+
+    M8 = jnp.uint32(0xFF)
+
+    def mds_apply(lo, hi):
+        # eight exact bf16 limb-plane dots on the MXU; (12,12)@(12,B)
+        mds = mds_ref[...].astype(jnp.bfloat16)
+        accs = []
+        for w in (lo, hi):
+            for k in range(4):
+                plane = ((w >> jnp.uint32(8 * k)) & M8).astype(jnp.bfloat16)
+                accs.append(
+                    jax.lax.dot_general(
+                        mds,
+                        plane,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(jnp.uint32)
+                )
+        t = accs[0]
+        b = []
+        for a in accs[1:]:
+            b.append(t & M8)
+            t = (t >> 8) + a
+        b.append(t & M8)
+        b8 = t >> 8
+        r0 = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
+        r1 = b[4] | (b[5] << 8) | (b[6] << 16) | (b[7] << 24)
+        return reduce128(r0, r1, b8, jnp.zeros_like(b8))
+
+    lo = lo_ref[...]
+    hi = hi_ref[...]
+    half = ps.FULL_ROUNDS // 2
+    for r in range(ps.N_ROUNDS):
+        rlo = rc_lo_ref[r][:, None]
+        rhi = rc_hi_ref[r][:, None]
+        lo, hi = gadd(lo, hi, jnp.broadcast_to(rlo, lo.shape), jnp.broadcast_to(rhi, hi.shape))
+        if r < half or r >= half + ps.PARTIAL_ROUNDS:
+            lo, hi = sbox(lo, hi)
+        else:
+            s0l, s0h = sbox(lo[:1], hi[:1])
+            lo = jnp.concatenate([s0l, lo[1:]], axis=0)
+            hi = jnp.concatenate([s0h, hi[1:]], axis=0)
+        lo, hi = mds_apply(lo, hi)
+    out_lo_ref[...] = lo
+    out_hi_ref[...] = hi
+
+
+@lru_cache(maxsize=None)
+def _permute_fn(n_blocks: int, interpret: bool):
+    from jax.experimental import pallas as pl
+
+    rc_lo, rc_hi, mds = _params()
+
+    def call(lo, hi):
+        return pl.pallas_call(
+            _kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct(lo.shape, jnp.uint32),
+                jax.ShapeDtypeStruct(hi.shape, jnp.uint32),
+            ),
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((ps.N_ROUNDS, ps.WIDTH), lambda i: (0, 0)),
+                pl.BlockSpec((ps.N_ROUNDS, ps.WIDTH), lambda i: (0, 0)),
+                pl.BlockSpec((ps.WIDTH, ps.WIDTH), lambda i: (0, 0)),
+                pl.BlockSpec((ps.WIDTH, BLOCK), lambda i: (0, i)),
+                pl.BlockSpec((ps.WIDTH, BLOCK), lambda i: (0, i)),
+            ],
+            out_specs=(
+                pl.BlockSpec((ps.WIDTH, BLOCK), lambda i: (0, i)),
+                pl.BlockSpec((ps.WIDTH, BLOCK), lambda i: (0, i)),
+            ),
+            interpret=interpret,
+        )(jnp.asarray(rc_lo), jnp.asarray(rc_hi), jnp.asarray(mds), lo, hi)
+
+    return jax.jit(call)
+
+
+def permute_lanes(state: GF, interpret: bool = False) -> GF:
+    """Poseidon permutation on lane-major states (12, B); B a multiple of
+    BLOCK. Exact vs ops/poseidon.py::permute on the transposed layout."""
+    w, B = state.shape
+    assert w == ps.WIDTH and B % BLOCK == 0, (w, B)
+    lo, hi = _permute_fn(B // BLOCK, interpret)(state.lo, state.hi)
+    return GF(lo, hi)
+
+
+@lru_cache(maxsize=1)
+def available() -> bool:
+    """True iff the backend compiles + runs the kernel correctly (probed
+    once with one BLOCK of data against the host oracle)."""
+    try:
+        x = [[(i * 7 + j) % 97 for _ in range(BLOCK)] for j in range(12) for i in (0,)][:12]
+        lo = jnp.asarray(np.array(x, dtype=np.uint32))
+        hi = jnp.zeros_like(lo)
+        out = permute_lanes(GF(lo, hi))
+        col0 = [int(v) for v in np.asarray(out.lo[:, 0])]
+        col0_hi = [int(v) for v in np.asarray(out.hi[:, 0])]
+        got = [l | (h << 32) for l, h in zip(col0, col0_hi)]
+        want = ps.permute_ints([int(r[0]) for r in x])
+        return got == want
+    except Exception:  # noqa: BLE001 — any failure means "not available"
+        return False

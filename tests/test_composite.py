@@ -177,3 +177,32 @@ def test_step_composite_end_to_end():
     bad = copy.deepcopy(proof2)
     bad.signers = bad.signers[:2]
     assert verify_step_composite(bad, CHAIN_ID) is None
+
+
+REF_FIXTURES = "/root/reference/circuits/fixtures/mocha-4"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REF_FIXTURES),
+    reason="reference fixtures not present",
+)
+def test_skip_composite_on_real_mocha4_fixtures():
+    """Composite skip proof over the reference's recorded mocha-4 chain
+    data (the reference's test_skip_small scenario, skip.rs:252-267 — but
+    with the statement proven rather than natively recomputed)."""
+    from tendermintx_tpu.inputs.fetcher import InputDataFetcher, InputDataMode
+
+    f = InputDataFetcher(fixture_path=REF_FIXTURES, mode=InputDataMode.FIXTURE)
+    trusted = f.get_signed_header_from_number(10000)
+    target = f.get_signed_header_from_number(10500)
+    inputs = f.get_skip_inputs(10000, trusted.header.hash(), 10500, 4)
+    proof = prove_skip_composite(10000, trusted.header.hash(), 10500, inputs)
+    out = verify_skip_composite(proof, "mocha-4", 100_800)
+    assert out == (
+        10000,
+        trusted.header.hash(),
+        10500,
+        target.header.hash(),
+    )
+    # the challenge table is present on real data too
+    assert proof.sha512_proof is not None

@@ -83,3 +83,17 @@ def test_mds_is_invertible():
             f = m[r][col] * inv % P
             m[r] = [(a - f * b) % P for a, b in zip(m[r], m[col])]
     assert det != 0
+
+
+@pytest.mark.slow  # pallas interpret mode executes the kernel op-by-op
+def test_pallas_permute_matches_oracle():
+    """The Pallas TPU kernel (ops/poseidon_pallas.py) computes the same
+    permutation as the host oracle, checked in interpret mode on CPU."""
+    from tendermintx_tpu.ops.poseidon_pallas import BLOCK, permute_lanes
+
+    states = rand_states(BLOCK)
+    x = GF.from_ints(np.array(states, dtype=object).T)  # (12, B)
+    out = permute_lanes(x, interpret=True)
+    got = out.to_ints().T.tolist()
+    want = [ps.permute_ints(s) for s in states[:16]]
+    assert got[:16] == want
