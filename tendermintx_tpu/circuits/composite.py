@@ -70,7 +70,7 @@ from .hashing import (
 from .skip import decode_skip_input, encode_skip_input
 from .step import decode_step_input, encode_step_input
 
-DEFAULT_ED_CONFIG = StarkConfig(rate_bits=2, n_queries=28, final_poly_len=8)
+DEFAULT_ED_CONFIG = StarkConfig(rate_bits=2, n_queries=28, final_poly_len=64)
 
 
 # ---------------------------------------------------------------------------

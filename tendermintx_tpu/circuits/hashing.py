@@ -51,7 +51,7 @@ from .consts import (
 HEADER_FIELDS_TOTAL = 14  # CometBFT header Merkle tree leaf count
 SEGMENT_ROWS = 64
 
-DEFAULT_HASH_CONFIG = StarkConfig(rate_bits=2, n_queries=28, final_poly_len=8)
+DEFAULT_HASH_CONFIG = StarkConfig(rate_bits=2, n_queries=28, final_poly_len=64)
 
 
 # ---------------------------------------------------------------------------
