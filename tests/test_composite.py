@@ -206,3 +206,32 @@ def test_skip_composite_on_real_mocha4_fixtures():
     )
     # the challenge table is present on real data too
     assert proof.sha512_proof is not None
+
+
+def test_step_composite_nonzero_round():
+    """Commits with round != 0 — the reference's own untested case
+    (verify.rs:612) — prove and verify through the composite, including
+    the 25-byte header-hash offset and the full 8-byte round binding."""
+    # round != 0 adds 9 sign-bytes; with the 124-byte message cap
+    # (consts.VALIDATOR_MESSAGE_BYTES_LENGTH_MAX, same as the reference)
+    # that requires a chain id a few bytes shorter than CHAIN_ID
+    cid = "r2-chain"
+    chain = TestChain(n_validators=4, chain_id=cid)
+    for _ in range(2):
+        chain.extend()  # blocks 2, 3
+    chain.extend(round=2)  # block 4: the commit this step proves
+    tmp = tempfile.mkdtemp(prefix="composite_r2_")
+    chain.write_fixtures(tmp)
+    f = InputDataFetcher(fixture_path=tmp, mode=InputDataMode.FIXTURE)
+
+    prev = chain.headers[3].hash()
+    inputs = f.get_step_inputs(3, prev, max_validators=4)
+    proof = prove_step_composite(3, prev, inputs)
+    assert proof.round == 2
+    out = verify_step_composite(proof, cid)
+    assert out == (3, prev, chain.headers[4].hash())
+
+    # claiming round 0 for a round-2 commit shifts the hash window: reject
+    bad = copy.deepcopy(proof)
+    bad.round = 0
+    assert verify_step_composite(bad, cid) is None
