@@ -217,6 +217,8 @@ def bench_composite_skip(n_validators: int, warm: bool) -> tuple[float, float | 
     chain.write_fixtures(tmp)
     f = InputDataFetcher(fixture_path=tmp, mode=InputDataMode.FIXTURE)
 
+    sizes = {}
+
     def run(trusted_h: int, target_h: int) -> float:
         trusted = chain.headers[trusted_h].hash()
         inputs = f.get_skip_inputs(
@@ -227,11 +229,14 @@ def bench_composite_skip(n_validators: int, warm: bool) -> tuple[float, float | 
         out = verify_skip_composite(proof, "bench-chain", 100_800)
         dt = time.perf_counter() - t0
         assert out is not None, "composite skip proof failed to verify"
+        import json as _json
+
+        sizes["proof_bytes"] = len(_json.dumps(proof.to_dict()))
         return dt
 
     cold = run(1, 5)
     warm_dt = run(2, 6) if warm and _left() > 60 else None
-    return cold, warm_dt
+    return cold, warm_dt, sizes.get("proof_bytes")
 
 
 def main():
@@ -288,7 +293,9 @@ def main():
     if _left() > 300:
         n = int(os.environ.get("TMX_BENCH_N", "32"))
         try:
-            cold, warm_dt = bench_composite_skip(n, warm=True)
+            cold, warm_dt, proof_bytes = bench_composite_skip(n, warm=True)
+            if proof_bytes:
+                extras["composite_proof_bytes"] = proof_bytes
             extras[f"skip_composite_n{n}_cold_seconds"] = round(cold, 1)
             dt = cold
             metric = f"skip_composite_n{n}_cold_seconds"
