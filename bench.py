@@ -22,9 +22,31 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
+# The remote-TPU relay can be hard-down (device init then HANGS rather than
+# erroring). Probe it in a subprocess with a timeout before touching jax in
+# this process; fall back to CPU so the bench always reports something.
+if os.environ.get("TMX_BENCH_BACKEND") is None:
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            check=True,
+            timeout=240,
+            capture_output=True,
+        )
+        os.environ["TMX_BENCH_BACKEND"] = "accel"
+    except Exception:  # noqa: BLE001 — hang or init error: re-exec on CPU
+        os.environ["TMX_BENCH_BACKEND"] = "cpu-fallback"
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
 import jax
+
+if os.environ.get("TMX_BENCH_BACKEND") == "cpu-fallback":
+    jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: the remote-compile tunnel is slow and variable,
 # so cache compiled executables across bench runs
@@ -314,6 +336,7 @@ def main():
 
     if primary is None:
         primary = {"metric": "bench_failed", "value": 0, "unit": "", "vs_baseline": 0}
+    extras["backend"] = os.environ.get("TMX_BENCH_BACKEND", "accel")
     primary["extras"] = extras
     print(json.dumps(primary))
 
