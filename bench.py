@@ -213,10 +213,13 @@ def bench_leaf_stark(lanes: int = 128) -> float:
     return time.perf_counter() - t0
 
 
-def bench_composite_skip(n_validators: int, warm: bool) -> tuple[float, float | None]:
+def bench_composite_skip(
+    n_validators: int, warm: bool
+) -> tuple[float, float | None, int | None]:
     """The north star: full composite skip proof, prove+verify seconds.
 
-    Returns (cold_seconds, warm_seconds|None). The cold number includes
+    Returns (cold_seconds, warm_seconds|None, proof_bytes|None — JSON
+    size of the last proof). The cold number includes
     every per-process XLA compile (the remote-TPU backend cannot reuse the
     persistent cache across processes); the warm number proves a SECOND,
     different height with all programs compiled — the steady-state latency

@@ -138,7 +138,9 @@ def _check_message(msg: bytes, height: int, round_: int, header_hash: bytes) -> 
 
 
 def _next_pow2(n: int) -> int:
-    return 1 << max((n - 1).bit_length(), 0)
+    # smallest power of two >= n, with _next_pow2(0) == 1 (the naive
+    # (n-1).bit_length() gives (-1).bit_length() == 1 for n == 0)
+    return 1 << max(n - 1, 0).bit_length()
 
 
 # ---------------------------------------------------------------------------

@@ -232,8 +232,20 @@ def cmd_submit(args) -> int:
     )
     print(f"request {req_id}", flush=True)
     result = client.wait(req_id, timeout=args.timeout)
+    # same wrapper cmd_verify reads (input/chain/circuit/composite_proof)
     with open(args.out, "w") as f:
-        json.dump(result["proof"], f)
+        json.dump(
+            {
+                "input": args.input,
+                "circuit": args.circuit,
+                "chain": args.chain,
+                "max_validators": args.max_validators,
+                "output": result["output"],
+                "valid": True,
+                "composite_proof": result["proof"],
+            },
+            f,
+        )
     print(f"output {result['output']}")
     print(f"proof written to {args.out}")
     return 0

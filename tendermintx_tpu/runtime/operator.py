@@ -149,9 +149,8 @@ class TendermintXOperator:
         if contract is not None:
             self.contract = contract
         elif config.ethereum_rpc and config.contract_address:
-            self.contract = ContractView(
-                EthClient(config.ethereum_rpc), config.contract_address
-            )
+            eth_client = EthClient(config.ethereum_rpc)
+            self.contract = ContractView(eth_client, config.contract_address)
         else:
             assert config.genesis_height is not None
             self.contract = MockContract(
@@ -169,8 +168,14 @@ class TendermintXOperator:
                 "the write path requires prove_composite: transactions are "
                 "only submitted after independent proof verification"
             )
+            # reuse the read client when the contract view created one
+            client = (
+                self.contract.client
+                if isinstance(self.contract, ContractView)
+                else EthClient(config.ethereum_rpc)
+            )
             self.submitter = EthSubmitter(
-                EthClient(config.ethereum_rpc),
+                client,
                 config.private_key,
                 config.eth_chain_id,
             )

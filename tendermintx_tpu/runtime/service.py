@@ -66,12 +66,18 @@ def default_prover(request: dict) -> dict:
 
 
 class ProverService:
-    """Threaded HTTP server + single prover worker."""
+    """Threaded HTTP server + single prover worker.
 
-    def __init__(self, port: int = 0, prover=default_prover):
+    Finished jobs are retained up to `keep_done` results (oldest evicted):
+    composite proofs are multi-MB and a resident service would otherwise
+    grow without bound."""
+
+    def __init__(self, port: int = 0, prover=default_prover, keep_done: int = 32):
         self.prover = prover
         self.jobs: dict[str, dict] = {}
         self.queue: queue.Queue = queue.Queue()
+        self.keep_done = keep_done
+        self._done_order: list[str] = []
         self._lock = threading.Lock()
         svc = self
 
@@ -160,11 +166,20 @@ class ProverService:
                 with self._lock:
                     job["state"] = "done"
                     job["result"] = result
+                    self._evict(req_id)
             except Exception as e:  # noqa: BLE001 — job-level isolation
                 log.exception("prover job %s failed", req_id)
                 with self._lock:
                     job["state"] = "failed"
                     job["error"] = repr(e)
+                    self._evict(req_id)
+
+    def _evict(self, req_id: str):
+        # caller holds the lock
+        self._done_order.append(req_id)
+        while len(self._done_order) > self.keep_done:
+            old = self._done_order.pop(0)
+            self.jobs.pop(old, None)
 
 
 class ProverClient:

@@ -204,13 +204,8 @@ def fri_prove(
         both_list = i_list + j_list
         v = layers[l][jnp.asarray(both_list)]
         dev_vals.append(GF.stack([v.c0, v.c1], axis=-1))
-        uniq = sorted(set(both_list))
-        n_inner = len(tree.dev_layers) - 1
-        sib = [
-            tree.dev_layers[d][jnp.asarray([(i >> d) ^ 1 for i in uniq])]
-            for d in range(n_inner)
-        ]
-        dev_sibs.append(GF.concatenate(sib, axis=0))
+        sib_dev, uniq, n_inner = tree.sibling_gather(both_list)
+        dev_sibs.append(sib_dev)
         metas.append((i_list, j_list, uniq, n_inner))
         idx_chain = i_list
 
@@ -231,14 +226,7 @@ def fri_prove(
             ku = len(uniq)
             sl = all_sibs[soff : soff + n_inner * ku]
             soff += n_inner * ku
-            pos = {idx: qi for qi, idx in enumerate(uniq)}
-            paths = {
-                idx: [
-                    [int(x) for x in sl[d * ku + pos[idx]]]
-                    for d in range(n_inner)
-                ]
-                for idx in uniq
-            }
+            paths = MerkleTree.decode_paths(sl, uniq, n_inner)
             vc0 = [int(r[0]) for r in vals]
             vc1 = [int(r[1]) for r in vals]
             layer_data.append((i_list, j_list, vc0, vc1, paths))

@@ -85,6 +85,25 @@ def test_service_queues_sequentially():
         svc.stop()
 
 
+def test_service_evicts_old_results():
+    """Finished jobs beyond keep_done are evicted (resident services would
+    otherwise retain every multi-MB proof forever)."""
+    svc = ProverService(prover=_echo_prover, keep_done=2)
+    svc.start()
+    try:
+        client = ProverClient(svc.url)
+        ids = []
+        for i in range(4):
+            rid = client.submit("step", f"c{i}", "0x" + "00" * 40)
+            client.wait(rid, timeout=30, poll=0.05)
+            ids.append(rid)
+        with pytest.raises(KeyError):
+            client.status(ids[0])  # evicted (keep_done=2)
+        assert client.status(ids[-1])["state"] == "done"
+    finally:
+        svc.stop()
+
+
 @pytest.mark.slow
 def test_service_end_to_end_step(tmp_path):
     """Full path: operator-side submit of a step request -> composite proof
