@@ -207,8 +207,13 @@ class CompositeProof:
 
     @classmethod
     def from_dict(cls, d: dict) -> "CompositeProof":
+        """Raises ValueError/KeyError/TypeError on malformed input —
+        callers treat any deserialization error as a verification failure
+        (ADVICE r1/r2 rule: malformed proofs fail cleanly at the boundary,
+        never via bare asserts that vanish under ``python -O``)."""
         kind = str(d["kind"])
-        assert kind.endswith("-composite")
+        if not kind.endswith("-composite"):
+            raise ValueError(f"not a composite proof kind: {kind!r}")
         return cls(
             kind=kind[: -len("-composite")],
             abi_inputs=bytes.fromhex(d["abi_inputs"]),
@@ -499,6 +504,17 @@ def _verify_common(
     return vals, set(signer_pks)
 
 
+_VERIFY_EXC = (
+    ValueError,
+    AssertionError,
+    KeyError,
+    IndexError,
+    TypeError,
+    OverflowError,
+    AttributeError,
+)
+
+
 def verify_skip_composite(
     proof: CompositeProof,
     chain_id: str,
@@ -507,8 +523,25 @@ def verify_skip_composite(
     ed_config: StarkConfig = DEFAULT_ED_CONFIG,
 ) -> tuple[int, bytes, int, bytes] | None:
     """Returns (trusted_block, trusted_header, target_block, target_header)
-    on success, None otherwise. Mirrors reference verify_skip
-    (verify.rs:528-563) with every hash/signature fact proven."""
+    on success, None otherwise — NEVER an exception (a structurally broken
+    CompositeProof is indistinguishable from a cryptographically invalid
+    one; same contract as stark.verifier.verify). Mirrors reference
+    verify_skip (verify.rs:528-563) with every hash/signature fact proven."""
+    try:
+        return _verify_skip_inner(
+            proof, chain_id, skip_max, hash_config, ed_config
+        )
+    except _VERIFY_EXC:
+        return None
+
+
+def _verify_skip_inner(
+    proof: CompositeProof,
+    chain_id: str,
+    skip_max: int,
+    hash_config: StarkConfig,
+    ed_config: StarkConfig,
+) -> tuple[int, bytes, int, bytes] | None:
     if proof.kind != "skip" or len(proof.abi_inputs) != 48:
         return None
     trusted_block, trusted_header, target_block = decode_skip_input(
@@ -567,10 +600,23 @@ def verify_step_composite(
     hash_config: StarkConfig = DEFAULT_HASH_CONFIG,
     ed_config: StarkConfig = DEFAULT_ED_CONFIG,
 ) -> tuple[int, bytes, bytes] | None:
-    """Returns (prev_block, prev_header, next_header) on success. Mirrors
+    """Returns (prev_block, prev_header, next_header) on success, None
+    otherwise — NEVER an exception (see verify_skip_composite). Mirrors
     reference verify_step (verify.rs:469-506): full header verification of
     prev+1 plus the prev-hash and next-validators-hash links (both enforced
     inside the hash STARK's statement bindings)."""
+    try:
+        return _verify_step_inner(proof, chain_id, hash_config, ed_config)
+    except _VERIFY_EXC:
+        return None
+
+
+def _verify_step_inner(
+    proof: CompositeProof,
+    chain_id: str,
+    hash_config: StarkConfig,
+    ed_config: StarkConfig,
+) -> tuple[int, bytes, bytes] | None:
     if proof.kind != "step" or len(proof.abi_inputs) != 40:
         return None
     prev_block, prev_header = decode_step_input(proof.abi_inputs)

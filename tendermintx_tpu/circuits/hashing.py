@@ -72,6 +72,12 @@ class Plan:
             assert side[0] in ("job", "free")
             if side[0] == "job":
                 assert 0 <= side[1] < len(self.jobs)
+        # At most ONE free side per inner job: aunt_map/PlanResult.aunts key
+        # aunts by job id, so a second free side would silently collide
+        # (VERDICT r2 weak #6). Every real plan shape (header-proof paths)
+        # has exactly one free side per inner node.
+        if left[0] == "free" and right[0] == "free":
+            raise ValueError("inner job cannot have two free sides")
         self.jobs.append(("inner", left, right))
         return len(self.jobs) - 1
 
@@ -376,8 +382,11 @@ class HashBundle:
 
     @classmethod
     def from_dict(cls, d: dict) -> "HashBundle":
+        """Raises ValueError on malformed input (see
+        CompositeProof.from_dict for the failure contract)."""
         kind = str(d["kind"])
-        assert kind.endswith("-hashes")
+        if not kind.endswith("-hashes"):
+            raise ValueError(f"not a hash-bundle kind: {kind!r}")
         return cls(
             kind=kind[: -len("-hashes")],
             proof=stark_proof_from_dict(d["proof"]),

@@ -94,6 +94,11 @@ def mds_matrix() -> list[list[int]]:
     square submatrix is nonsingular mod p — the MDS property, verified
     exhaustively (~2.7M minors) by the native core's `tmx_mds_check`
     (re-run in tests/test_poseidon.py::test_mds_property_exhaustive).
+    The linear layer is additionally subspace-trail resistant: char(M) is
+    irreducible over GF(p), so M has no invariant subspace and no
+    infinitely long subspace trail through the partial rounds exists
+    (Grassi et al.; ops/linear_layer_check.py, verified by
+    tests/test_poseidon.py::test_mds_linear_layer_subspace_trail_resistance).
 
     Small entries are a TPU design choice: limb x entry products stay below
     the float32 mantissa, so the MDS layer runs as an exact f32 matmul on

@@ -149,7 +149,12 @@ def cmd_verify(args) -> int:
         )
         from ..circuits.config import TendermintConfig
 
-        cp = CompositeProof.from_dict(result["composite_proof"])
+        try:
+            cp = CompositeProof.from_dict(result["composite_proof"])
+        except (ValueError, KeyError, TypeError) as e:
+            # malformed proof file == invalid proof (clean rejection)
+            print(f"composite proof: MALFORMED ({e!r})")
+            return 1
         cfg = TendermintConfig(chain_id=result["chain"])
         if cp.abi_inputs != input_bytes:
             print("composite proof: INPUT MISMATCH")
@@ -206,7 +211,11 @@ def cmd_serve(args) -> int:
 
     from .service import ProverService
 
-    svc = ProverService(port=args.port)
+    svc = ProverService(
+        port=args.port,
+        allowed_fixture_roots=args.fixture_root,
+        max_pending=args.max_pending,
+    )
     svc.start()
     print(f"prover service listening on {svc.url}", flush=True)
     try:
@@ -292,6 +301,14 @@ def main(argv=None) -> int:
 
     sv = sub.add_parser("serve", help="run the local prover-service queue")
     sv.add_argument("--port", type=int, default=8642)
+    sv.add_argument(
+        "--fixture-root",
+        action="append",
+        default=None,
+        help="directory requests' fixture_path may point into (repeatable);"
+        " without it, request-supplied fixture paths are ignored",
+    )
+    sv.add_argument("--max-pending", type=int, default=64)
     sv.set_defaults(fn=cmd_serve)
 
     sm = sub.add_parser("submit", help="submit a request to a prover service")

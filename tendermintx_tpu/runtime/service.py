@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import queue
 import threading
 import urllib.request
@@ -72,11 +73,29 @@ class ProverService:
     composite proofs are multi-MB and a resident service would otherwise
     grow without bound."""
 
-    def __init__(self, port: int = 0, prover=default_prover, keep_done: int = 32):
+    def __init__(
+        self,
+        port: int = 0,
+        prover=default_prover,
+        keep_done: int = 32,
+        max_pending: int = 64,
+        allowed_fixture_roots: list[str] | None = None,
+    ):
+        """max_pending caps the queue (submissions beyond it get 429) so a
+        client cannot grow memory without bound; allowed_fixture_roots,
+        when set, whitelists directories a request's fixture_path may live
+        under (otherwise fixture_path is dropped from requests — a
+        resident service must not take arbitrary local-read paths from the
+        network; ADVICE r2)."""
         self.prover = prover
         self.jobs: dict[str, dict] = {}
         self.queue: queue.Queue = queue.Queue()
         self.keep_done = keep_done
+        self.max_pending = max_pending
+        self.allowed_fixture_roots = [
+            os.path.realpath(r) for r in (allowed_fixture_roots or [])
+        ]
+        self._pending = 0
         self._done_order: list[str] = []
         self._lock = threading.Lock()
         svc = self
@@ -104,8 +123,14 @@ class ProverService:
                     bytes.fromhex(req["input"].removeprefix("0x"))
                 except Exception:  # noqa: BLE001 — malformed request
                     return self._json(400, {"error": "bad request"})
+                fp = req.get("fixture_path")
+                if fp is not None and not svc._fixture_allowed(fp):
+                    req.pop("fixture_path", None)
                 req_id = uuid.uuid4().hex
                 with svc._lock:
+                    if svc._pending >= svc.max_pending:
+                        return self._json(429, {"error": "queue full"})
+                    svc._pending += 1
                     svc.jobs[req_id] = {"state": "pending", "request": req}
                 svc.queue.put(req_id)
                 self._json(200, {"request_id": req_id})
@@ -153,6 +178,15 @@ class ProverService:
         self.queue.put(None)
         self.server.shutdown()
 
+    def _fixture_allowed(self, path) -> bool:
+        if not isinstance(path, str) or not self.allowed_fixture_roots:
+            return False
+        real = os.path.realpath(path)
+        return any(
+            real == root or real.startswith(root + os.sep)
+            for root in self.allowed_fixture_roots
+        )
+
     def _worker(self):
         while True:
             req_id = self.queue.get()
@@ -161,6 +195,7 @@ class ProverService:
             with self._lock:
                 job = self.jobs[req_id]
                 job["state"] = "proving"
+                self._pending -= 1
             try:
                 result = self.prover(job["request"])
                 with self._lock:

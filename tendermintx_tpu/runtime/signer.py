@@ -53,8 +53,13 @@ def _pt_mul(k: int, pt):
     return acc
 
 
-def _rfc6979_k(priv: int, msg_hash: bytes) -> int:
-    """Deterministic nonce (RFC 6979, HMAC-SHA256)."""
+def _rfc6979_nonces(priv: int, msg_hash: bytes):
+    """Deterministic nonce stream (RFC 6979, HMAC-SHA256). Yields the
+    candidate nonces in spec order; a rejected candidate (k out of range,
+    or a downstream r == 0 / s == 0 / R.x >= N) is retried by CONTINUING
+    this K/V update loop per RFC 6979 §3.2.h.3 — never by altering the
+    digest being signed (ADVICE r2: mutating msg_hash silently signs a
+    different message)."""
     x = priv.to_bytes(32, "big")
     h1 = msg_hash
     V = b"\x01" * 32
@@ -67,30 +72,32 @@ def _rfc6979_k(priv: int, msg_hash: bytes) -> int:
         V = hmac.new(K, V, hashlib.sha256).digest()
         k = int.from_bytes(V, "big")
         if 1 <= k < _N:
-            return k
+            yield k
         K = hmac.new(K, V + b"\x00", hashlib.sha256).digest()
         V = hmac.new(K, V, hashlib.sha256).digest()
 
 
 def ecdsa_sign(priv: int, msg_hash: bytes) -> tuple[int, int, int]:
-    """Returns (r, s, recovery_id) with low-s normalization."""
+    """Returns (r, s, recovery_id) with low-s normalization; rec is always
+    0 or 1 (candidates with R.x >= N — which would need the EIP-155-invalid
+    '2' bit — are skipped, continuing the RFC 6979 nonce loop)."""
     z = int.from_bytes(msg_hash, "big")
-    while True:
-        k = _rfc6979_k(priv, msg_hash)
+    for k in _rfc6979_nonces(priv, msg_hash):
         R = _pt_mul(k, (_GX, _GY))
+        if R[0] >= _N:  # rec bit 2: unencodable in EIP-155 v — skip nonce
+            continue
         r = R[0] % _N
         if r == 0:
-            msg_hash = hashlib.sha256(msg_hash).digest()
             continue
         s = _inv(k, _N) * (z + r * priv) % _N
         if s == 0:
-            msg_hash = hashlib.sha256(msg_hash).digest()
             continue
-        rec = (R[1] & 1) | (2 if R[0] >= _N else 0)
+        rec = R[1] & 1
         if s > _N // 2:  # low-s (EIP-2)
             s = _N - s
             rec ^= 1
         return r, s, rec
+    raise RuntimeError("unreachable: RFC 6979 nonce stream is infinite")
 
 
 def ecdsa_verify(pub: tuple[int, int], msg_hash: bytes, r: int, s: int) -> bool:

@@ -60,6 +60,34 @@ def test_mds_property_exhaustive():
     assert ok
 
 
+def test_mds_linear_layer_subspace_trail_resistance():
+    """The MDS property alone does not rule out invariant/iterative
+    subspace trails through the 22 partial rounds (Grassi et al. — the
+    check the published Poseidon scripts run alongside the MDS minors).
+    Sufficient condition verified here: char(M) is irreducible over GF(p),
+    so M has no proper invariant subspace at all (min poly == char poly,
+    irreducible), hence no infinitely long subspace trail exists for the
+    linear layer. Also sanity-checks the char poly via Cayley–Hamilton and
+    the irreducibility tester against known (ir)reducible polynomials."""
+    from tendermintx_tpu.ops.ext import W
+    from tendermintx_tpu.ops.linear_layer_check import (
+        charpoly,
+        is_irreducible,
+        linear_layer_secure,
+        poly_eval_matrix,
+    )
+
+    assert not is_irreducible([P - 1, 0, 1])  # x^2 - 1 = (x-1)(x+1)
+    assert is_irreducible([(P - W) % P, 0, 1])  # x^2 - W defines GF(p^2)
+
+    M = ps.mds_matrix()
+    f = charpoly(M)
+    assert len(f) == 13 and f[-1] == 1
+    Z = poly_eval_matrix(f, M)
+    assert all(v == 0 for row in Z for v in row)  # Cayley–Hamilton
+    assert linear_layer_secure(M)
+
+
 def test_mds_entries_small_and_deterministic():
     m = ps.mds_matrix()
     assert all(1 <= v <= 127 for row in m for v in row)

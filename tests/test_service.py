@@ -115,7 +115,7 @@ def test_service_end_to_end_step(tmp_path):
         chain.extend()
     chain.write_fixtures(str(tmp_path))
 
-    svc = ProverService()
+    svc = ProverService(allowed_fixture_roots=[str(tmp_path)])
     svc.start()
     try:
         client = ProverClient(svc.url)
