@@ -20,6 +20,12 @@ recompiles or waits.
 
 All functions return the SAME values as their single-chip counterparts in
 stark/prover.py — `prove(..., mesh=...)` produces byte-identical proofs.
+
+Every shard_map here passes check_vma=False: the varying-manual-axes
+static analysis walks the fully unrolled NTT/quotient graphs and costs
+~80x the actual XLA compile (308 s vs 3.9 s for one trace LDE on a CPU
+mesh). The out_specs are exercised by tests/test_sharding.py, which
+asserts sharded proofs byte-identical to single-chip ones.
 """
 
 from __future__ import annotations
@@ -65,11 +71,16 @@ def sharded_trace_lde(mesh, rate_bits: int, shift: int):
         mesh=mesh,
         in_specs=P(ax, None),
         out_specs=(P(ax, None), P(ax, None)),
+        check_vma=False,
     )
     def fn(cols: GF):
         coeffs = nttmod.intt(cols)
         lde = nttmod.coset_lde(coeffs, rate_bits, shift)
         return coeffs, lde
+
+    # jit is load-bearing: an eager shard_map stages per call and costs
+    # ~100x the jitted compile (382 s vs 3.9 s for this graph on CPU)
+    fn = jax.jit(fn)
 
     def wrapped(cols: GF):
         padded, c = _pad_rows(cols, D)
@@ -83,7 +94,7 @@ def sharded_leaf_hashes(mesh):
     """Row-sharded Merkle leaf hashing: rows (n_leaves, width) -> (n, 4)."""
     ax = _axis(mesh)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=P(ax, None), out_specs=P(ax, None))
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(ax, None), out_specs=P(ax, None), check_vma=False)
     def fn(rows: GF) -> GF:
         return ps.hash_no_pad(rows)
 
@@ -124,6 +135,7 @@ def sharded_quotient_fn(mesh, air, log_n: int, rate_bits: int):
             P(None),      # challenges
         ),
         out_specs=P(ax),
+        check_vma=False,
     )
     def fn(lde_block, alpha_pows, pub, periodic, public_cols, zinvs, chal):
         if halo:
@@ -170,6 +182,7 @@ def sharded_deep_fn(mesh, air, log_n: int, rate_bits: int):
             P(None, ax),  # 1/(x - z_g) tables
         ),
         out_specs=P(ax),
+        check_vma=False,
     )
     def fn(trace_lde, chunks, betas_t, betas_q, g0s, invs):
         return _deep_core(
@@ -216,6 +229,7 @@ def sharded_fold_fn(mesh):
         mesh=mesh,
         in_specs=(P(ax), P(ax), P(None)),
         out_specs=P(ax),
+        check_vma=False,
     )
     def fn(evals: GF2, invx: GF, beta: GF2) -> GF2:
         half = evals.shape[0] // 2
@@ -308,6 +322,7 @@ def sharded_ntt_fn(mesh, log_n: int):
         mesh=mesh,
         in_specs=(P(ax), P(None, ax)),
         out_specs=P(ax),
+        check_vma=False,
     )
     def fn(x: GF, tw: GF) -> GF:
         # x local: (C,) = row r = my device index

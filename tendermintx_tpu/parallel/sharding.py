@@ -56,6 +56,7 @@ def sharded_lane_checks(mesh: Mesh):
         mesh=mesh,
         in_specs=(lane,) * 18,
         out_specs=(P(), lane, P(), P()),
+        check_vma=False,
     )
     def fn(
         table_x, table_y, table_t, bits2, rx, ry,
@@ -101,7 +102,7 @@ def sharded_lane_checks(mesh: Mesh):
 def sharded_poseidon_throughput(mesh: Mesh):
     """Data-parallel Poseidon permutation for scaling benchmarks."""
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=P("lanes"), out_specs=P("lanes"))
+    @partial(jax.shard_map, mesh=mesh, in_specs=P("lanes"), out_specs=P("lanes"), check_vma=False)
     def fn(states: GF) -> GF:
         return poseidon.permute(states)
 
@@ -112,7 +113,7 @@ def sharded_sha256(mesh: Mesh):
     """Lane-sharded batched SHA-256 (blocks pre-padded)."""
 
     @partial(
-        jax.shard_map, mesh=mesh, in_specs=(P("lanes"), P("lanes")), out_specs=P("lanes")
+        jax.shard_map, mesh=mesh, in_specs=(P("lanes"), P("lanes")), out_specs=P("lanes"), check_vma=False
     )
     def fn(blocks, n_active):
         return sha256.sha256_blocks(blocks, n_active)
