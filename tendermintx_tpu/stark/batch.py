@@ -1,0 +1,171 @@
+"""Batch STARK: several AIR statements, ONE transcript, ONE shared FRI.
+
+The reference aggregates its gadget STARKs by recursively verifying them
+inside the outer plonky2 circuit (starkyx proofs consumed at
+/root/reference/circuits/builder/verify.rs:248, shared.rs:194; the outer
+`circuit.prove()` at step.rs:223 emits one proof). The TPU-native
+equivalent here: every statement's trace/aux/quotient commitments feed a
+single Fiat-Shamir transcript, each statement's DEEP composition codeword
+is folded into ONE batch FRI (stark/fri.py::fri_prove_batch), so the
+aggregate proof carries one layer family, one grinding nonce, and one
+query-index set instead of K of each — the size collapse that makes the
+composite proof shippable (VERDICT r2 "what's missing" #1, phase A).
+
+Domain layout: statement i with trace size n_i commits over the coset
+shift^(N_max/N_i) * <w_{N_i}> (N_i = n_i << rate_bits). That is exactly
+the domain the running FRI fold reaches after log2(N_max/N_i) halvings,
+so smaller statements inject without any re-evaluation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..ops.goldilocks import GF, P
+from .air import Air
+from .challenger import Challenger
+from .fri import FriProof, fri_prove_batch, fri_verify_batch
+from .prover import (
+    StarkConfig,
+    _prove_statement,
+    _statement_openings,
+)
+from .verifier import check_statement
+
+import logging
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class StatementProof:
+    """One statement's share of a batch proof: everything in a StarkProof
+    except the FRI data (shared across the batch)."""
+
+    n_rows: int
+    public_inputs: list[int]
+    trace_root: list[int]
+    quotient_root: list[int]
+    ood_trace: list
+    ood_quotient: list
+    openings: dict
+    aux_root: list[int] | None = None
+
+
+@dataclass
+class BatchStarkProof:
+    statements: list[StatementProof]
+    fri_proof: FriProof
+
+
+def prove_batch(
+    airs: list[Air],
+    traces: list[GF],
+    publics_list: list[list[int]],
+    config: StarkConfig = StarkConfig(),
+    transcript_seed: list[int] | None = None,
+    mesh=None,
+) -> BatchStarkProof:
+    """Prove all statements with a shared transcript + one batch FRI.
+
+    Statement order is the transcript order (commitments and challenges
+    interleave per statement, so later statements' challenges depend on
+    earlier commitments); FRI injection order is descending domain size,
+    re-derived identically by the verifier."""
+    assert len(airs) == len(traces) == len(publics_list) and airs
+    challenger = Challenger()
+    if transcript_seed:
+        challenger.observe_elements(transcript_seed)
+
+    sizes = [int(t.shape[1]) << config.rate_bits for t in traces]
+    n_max = max(sizes)
+    ctxs = []
+    codewords = []
+    for air, trace, publics, N_i in zip(airs, traces, publics_list, sizes):
+        shift_i = pow(config.shift, n_max // N_i, P)
+        ctx, F = _prove_statement(
+            air, trace, publics, config, challenger, mesh=mesh, shift=shift_i
+        )
+        ctxs.append(ctx)
+        codewords.append(F)
+
+    fri_proof = fri_prove_batch(
+        codewords, challenger, config.fri, config.shift, mesh=mesh
+    )
+
+    statements = []
+    for ctx, N_i in zip(ctxs, sizes):
+        idxs = [q % N_i for q in fri_proof.query_indices]
+        openings = _statement_openings(ctx, idxs)
+        ctx.mark("openings")
+        log.info(
+            "batch-stmt[%s n=%d N=%d cols=%d] %s total=%.2fs",
+            type(ctx.air).__name__, ctx.n, ctx.N,
+            ctx.air.n_cols + ctx.air.n_aux_cols,
+            " ".join(f"{k}={v:.2f}" for k, v in ctx.phases),
+            sum(v for _, v in ctx.phases),
+        )
+        statements.append(
+            StatementProof(
+                n_rows=ctx.n,
+                public_inputs=list(ctx.public_inputs),
+                trace_root=ctx.trace_tree.root,
+                quotient_root=ctx.quot_tree.root,
+                ood_trace=ctx.ood_trace,
+                ood_quotient=ctx.ood_quotient,
+                openings=openings,
+                aux_root=ctx.aux_tree.root if ctx.air.n_aux_cols else None,
+            )
+        )
+    return BatchStarkProof(statements=statements, fri_proof=fri_proof)
+
+
+def verify_batch(
+    airs: list[Air],
+    proof: BatchStarkProof,
+    config: StarkConfig = StarkConfig(),
+    transcript_seed: list[int] | None = None,
+) -> bool:
+    """False (never an exception) on any malformed or invalid proof —
+    same contract as stark.verifier.verify."""
+    try:
+        return _verify_batch_inner(airs, proof, config, transcript_seed)
+    except (ValueError, AssertionError, KeyError, IndexError, TypeError, OverflowError):
+        return False
+
+
+def _verify_batch_inner(
+    airs: list[Air],
+    proof: BatchStarkProof,
+    config: StarkConfig,
+    transcript_seed: list[int] | None,
+) -> bool:
+    if len(airs) != len(proof.statements) or not airs:
+        return False
+    challenger = Challenger()
+    if transcript_seed:
+        challenger.observe_elements(transcript_seed)
+
+    sizes = []
+    eval_fns = []
+    for air, stmt in zip(airs, proof.statements):
+        n = stmt.n_rows
+        if n < 1 or n & (n - 1):
+            return False
+        sizes.append(n << config.rate_bits)
+    n_max = max(sizes)
+    for air, stmt, N_i in zip(airs, proof.statements, sizes):
+        shift_i = pow(config.shift, n_max // N_i, P)
+        eval_at = check_statement(air, stmt, config, challenger, shift_i)
+        if eval_at is None:
+            return False
+        eval_fns.append(eval_at)
+
+    return fri_verify_batch(
+        proof.fri_proof,
+        sizes,
+        eval_fns,
+        challenger,
+        config.fri,
+        config.shift,
+    )

@@ -193,6 +193,23 @@ def fri_prove(
     # open — only the queried values/paths are ever fetched to host
     # (full-layer to_ints made the TPU-relay prover latency-bound).
     query_indices = challenger.sample_indices(config.n_queries, n)
+    query_rounds = _query_phase(layers, trees, n, query_indices)
+
+    return FriProof(
+        layer_roots=roots,
+        final_poly=final_coeffs,
+        query_rounds=query_rounds,
+        query_indices=query_indices,
+        pow_nonce=pow_nonce,
+    )
+
+
+def _query_phase(
+    layers: list[GF2], trees: list[MerkleTree], n: int, query_indices
+) -> list[list[tuple]]:
+    """Gather (value pair, sibling paths) per query per committed layer,
+    with ONE host fetch for everything (a fetch per layer is
+    relay-latency-bound on the remote TPU)."""
     idx_chain = list(query_indices)
     metas = []
     dev_vals = []  # per layer (2k, 2) GF rows [c0, c1]
@@ -209,8 +226,6 @@ def fri_prove(
         metas.append((i_list, j_list, uniq, n_inner))
         idx_chain = i_list
 
-    # ONE host fetch for every queried value and sibling digest across ALL
-    # layers (a fetch per layer is relay-latency-bound on the remote TPU)
     layer_data = []
     if trees:
         from ..ops.goldilocks import fetch_ints_many
@@ -246,6 +261,137 @@ def fri_prove(
                 )
             )
         query_rounds.append(per_layer)
+    return query_rounds
+
+
+# ---------------------------------------------------------------------------
+# Batch FRI: one layer family over several DEEP codewords of mixed sizes
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _inject_fn(cur: GF2, lam: GF2, F: GF2) -> GF2:
+    n = F.shape[0]
+    lam_b = GF2(lam.c0.broadcast_to((n,)), lam.c1.broadcast_to((n,)))
+    return cur + lam_b * F
+
+
+@jax.jit
+def _scale_fn(lam: GF2, F: GF2) -> GF2:
+    n = F.shape[0]
+    lam_b = GF2(lam.c0.broadcast_to((n,)), lam.c1.broadcast_to((n,)))
+    return lam_b * F
+
+
+def batch_entry_order(sizes: list[int]) -> list[int]:
+    """Stable descending-size order — the injection order both sides use."""
+    return sorted(range(len(sizes)), key=lambda i: -sizes[i])
+
+
+def _batch_layer_count(sizes: list[int], config: FriConfig) -> int:
+    """Number of committed fold layers the batch prover produces: fold
+    until the running size is ≤ the final-poly stop AND every codeword has
+    been injected."""
+    n = max(sizes)
+    stop = config.final_poly_len << config.rate_bits
+    smallest = min(sizes)
+    cur_n = n
+    layers = 0
+    while cur_n > stop or cur_n > smallest:
+        layers += 1
+        cur_n //= 2
+    return layers
+
+
+def fri_prove_batch(
+    codewords: list[GF2],
+    challenger: Challenger,
+    config: FriConfig,
+    shift: int = MULTIPLICATIVE_GENERATOR,
+    mesh=None,
+) -> FriProof:
+    """One FRI proof for SEVERAL DEEP codewords of (power-of-two) sizes.
+
+    Codeword i of size N_i must live on the coset shift^(N_max/N_i) *
+    <w_{N_i}> — i.e. a statement with a smaller trace uses the squared
+    shifts, exactly what the running fold domain becomes by the time it
+    reaches that size. Folding starts from the largest codeword; when the
+    running layer reaches size N_i, codeword i is mixed in with a fresh
+    transcript challenge lambda_i (sampled in stable descending-size
+    order). One layer family, one grind, ONE query-index set — this is
+    what collapses K proofs' worth of FRI data into one (VERDICT r2
+    next-step #2 phase A)."""
+    sizes = [int(F.shape[0]) for F in codewords]
+    assert all(s & (s - 1) == 0 for s in sizes)
+    order = batch_entry_order(sizes)
+    n = sizes[order[0]]
+    stop = config.final_poly_len << config.rate_bits
+
+    fold_sh = None
+    n_dev = 0
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        if n_dev >= 2 and n_dev % 2 == 0:
+            if mesh not in _SHARDED_FOLD_CACHE:
+                from ..parallel.prover import sharded_fold_fn
+
+                _SHARDED_FOLD_CACHE[mesh] = sharded_fold_fn(mesh)
+            fold_sh = _SHARDED_FOLD_CACHE[mesh]
+
+    layers: list[GF2] = []
+    trees: list[MerkleTree] = []
+    roots: list[list[int]] = []
+    cur = None
+    cur_n = n
+    cur_shift = shift % P
+    oi = 0
+    while True:
+        while oi < len(order) and sizes[order[oi]] == cur_n:
+            lam = challenger.sample_ext()
+            lam_gf2 = GF2(
+                _gf_scalar(lam[0], (1,)), _gf_scalar(lam[1], (1,))
+            )
+            F = codewords[order[oi]]
+            cur = (
+                _scale_fn(lam_gf2, F)
+                if cur is None
+                else _inject_fn(cur, lam_gf2, F)
+            )
+            oi += 1
+        if cur_n <= stop and oi == len(order):
+            break
+        assert cur_n > 1, "codeword sizes inconsistent"
+        tree = _commit_layer(cur)
+        trees.append(tree)
+        roots.append(tree.root)
+        layers.append(cur)
+        challenger.observe_digest(tree.root)
+        beta = challenger.sample_ext()
+        invx = _inv_x_table(cur_n.bit_length() - 1, cur_shift)
+        invx_gf = GF(jnp.asarray(invx[0]), jnp.asarray(invx[1]))
+        beta_gf2 = GF2(_gf_scalar(beta[0], (1,)), _gf_scalar(beta[1], (1,)))
+        if fold_sh is not None and cur_n >= 4 * n_dev:
+            cur = fold_sh(cur, invx_gf, beta_gf2)
+        else:
+            cur = _fold_jit(cur, beta_gf2, invx_gf)
+        cur_shift = cur_shift * cur_shift % P
+        cur_n //= 2
+
+    # Final polynomial (host iNTT of the small last layer).
+    c0, c1 = cur.to_ints()
+    final_coeffs = _coset_intt_ext(list(zip(c0.tolist(), c1.tolist())), cur_shift)
+    keep = max(cur_n >> config.rate_bits, 1)
+    assert all(c == (0, 0) for c in final_coeffs[keep:]), "final poly degree too high"
+    final_coeffs = final_coeffs[:keep]
+    for c in final_coeffs:
+        challenger.observe_ext(c)
+
+    pow_seed = challenger.sample()
+    pow_nonce = grind(pow_seed, config.proof_of_work_bits)
+    challenger.observe_element(pow_nonce)
+
+    query_indices = challenger.sample_indices(config.n_queries, n)
+    query_rounds = _query_phase(layers, trees, n, query_indices)
 
     return FriProof(
         layer_roots=roots,
@@ -254,6 +400,120 @@ def fri_prove(
         query_indices=query_indices,
         pow_nonce=pow_nonce,
     )
+
+
+def fri_verify_batch(
+    proof: FriProof,
+    sizes: list[int],
+    eval_fns: list,
+    challenger: Challenger,
+    config: FriConfig,
+    shift: int = MULTIPLICATIVE_GENERATOR,
+) -> bool:
+    """Verify a batch FRI proof. sizes[i] = codeword i's domain size;
+    eval_fns[i](idx) -> ext tuple | None recomputes codeword i's value at
+    leaf `idx` of ITS domain from the statement's (Merkle-verified)
+    openings — the batch analog of `layer0_check`."""
+    if len(sizes) != len(eval_fns) or not sizes:
+        return False
+    if any(s < 1 or s & (s - 1) for s in sizes):
+        return False
+    order = batch_entry_order(sizes)
+    n = sizes[order[0]]
+    n_layers = _batch_layer_count(sizes, config)
+    if len(proof.layer_roots) != n_layers:
+        return False
+    final_n = n >> n_layers
+    if len(proof.final_poly) > max(final_n >> config.rate_bits, 1):
+        return False
+
+    # Replay: lambdas at entry sizes interleaved with fold betas.
+    lambdas: list[tuple[int, int] | None] = [None] * len(sizes)
+    entry_layer: dict[int, list[int]] = {}
+    betas = []
+    oi = 0
+    cur_n = n
+    for l in range(n_layers + 1):
+        while oi < len(order) and sizes[order[oi]] == cur_n:
+            si = order[oi]
+            lambdas[si] = challenger.sample_ext()
+            entry_layer.setdefault(l, []).append(si)
+            oi += 1
+        if l < n_layers:
+            challenger.observe_digest(proof.layer_roots[l])
+            betas.append(challenger.sample_ext())
+            cur_n //= 2
+    if oi != len(order):
+        return False
+    for c in proof.final_poly:
+        challenger.observe_ext(c)
+    pow_seed = challenger.sample()
+    if not check_grind(pow_seed, proof.pow_nonce, config.proof_of_work_bits):
+        return False
+    if not 0 <= proof.pow_nonce < P:
+        return False
+    challenger.observe_element(proof.pow_nonce)
+    query_indices = challenger.sample_indices(config.n_queries, n)
+
+    if len(proof.query_rounds) != config.n_queries:
+        return False
+
+    inv2 = pow(2, P - 2, P)
+    for q, per_layer in zip(query_indices, proof.query_rounds):
+        if len(per_layer) != n_layers:
+            return False
+        idx = q
+        prev_folded = None
+        cur_shift = shift % P
+        for l, (val_i, val_j, path_i, path_j) in enumerate(per_layer):
+            size = n >> l
+            half = size // 2
+            i = idx % half
+            j = i + half
+            root = proof.layer_roots[l]
+            val_i = tuple(val_i)
+            val_j = tuple(val_j)
+            if not verify_opening(root, i, [val_i[0], val_i[1]], path_i):
+                return False
+            if not verify_opening(root, j, [val_j[0], val_j[1]], path_j):
+                return False
+            expected = prev_folded if prev_folded is not None else (0, 0)
+            for si in entry_layer.get(l, ()):
+                v = eval_fns[si](idx)
+                if v is None:
+                    return False
+                expected = ext_add(expected, ext_mul(lambdas[si], tuple(v)))
+            value_at_idx = val_i if idx < half else val_j
+            if value_at_idx != expected:
+                return False
+            w = nttmod.primitive_root_of_unity(size.bit_length() - 1)
+            x_i = cur_shift * pow(w, i, P) % P
+            s = ext_add(val_i, val_j)
+            d = ext_sub(val_i, val_j)
+            invx = pow(2 * x_i % P, P - 2, P)
+            prev_folded = ext_add(
+                (s[0] * inv2 % P, s[1] * inv2 % P),
+                ext_mul(betas[l], (d[0] * invx % P, d[1] * invx % P)),
+            )
+            idx = i
+            cur_shift = cur_shift * cur_shift % P
+        # Final layer: folded value (plus final-size injections) must equal
+        # the final polynomial at the domain point.
+        size = n >> n_layers
+        expected = prev_folded if prev_folded is not None else (0, 0)
+        for si in entry_layer.get(n_layers, ()):
+            v = eval_fns[si](idx)
+            if v is None:
+                return False
+            expected = ext_add(expected, ext_mul(lambdas[si], tuple(v)))
+        w = nttmod.primitive_root_of_unity(size.bit_length() - 1)
+        pt = cur_shift * pow(w, idx, P) % P
+        acc = (0, 0)
+        for c in reversed(proof.final_poly):
+            acc = ext_add(ext_mul(acc, (pt, 0)), tuple(c))
+        if acc != expected:
+            return False
+    return True
 
 
 @lru_cache(maxsize=None)

@@ -481,32 +481,48 @@ def _coset_intt_fn(shift: int):
 # ---------------------------------------------------------------------------
 
 
-def prove(
+@dataclass
+class _StmtCtx:
+    """Everything a committed statement needs after FRI query sampling:
+    the trees + device row matrices for openings gathering."""
+
+    air: Air
+    n: int
+    N: int
+    trace_tree: MerkleTree
+    aux_tree: MerkleTree | None
+    quot_tree: MerkleTree
+    trace_rows: GF
+    aux_rows: GF | None
+    quot_rows: GF
+    ood_trace: list
+    ood_quotient: list
+    public_inputs: list[int]
+
+
+def _prove_statement(
     air: Air,
     trace_cols: GF,
     public_inputs: list[int],
-    config: StarkConfig = StarkConfig(),
-    transcript_seed: list[int] | None = None,
+    config: StarkConfig,
+    challenger: Challenger,
     mesh=None,
-) -> StarkProof:
-    """trace_cols: (n_cols, n_rows) GF on device (row i = step i of the
-    computation). n_rows must be a power of two >= 4.
-
-    transcript_seed: optional field elements absorbed before the public
-    inputs — composite proofs chain their sub-proofs' transcripts through
-    this (the verifier must supply the same seed).
-
-    mesh: optional jax.sharding.Mesh — shards the LDEs (columns), the
-    constraint quotient + DEEP composition (domain rows, ppermute halo),
-    and Merkle leaf hashing across its devices (parallel/prover.py). The
-    proof bytes are identical to the single-chip path."""
+    shift: int | None = None,
+):
+    """Steps 1-5 of the DEEP-ALI pipeline for ONE statement, driven by a
+    caller-owned transcript: observe publics, commit trace/aux/quotient,
+    OOD, and return (_StmtCtx, F) where F is the DEEP composition codeword
+    over this statement's LDE domain. `prove` runs one statement and FRIs
+    its F directly; `batch.prove_batch` runs several against a shared
+    challenger and folds all the Fs into a single FRI (stark/batch.py)."""
     n_cols, n = int(trace_cols.shape[0]), int(trace_cols.shape[1])
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
     rate_bits = config.rate_bits
     N = n << rate_bits
     blowup = 1 << rate_bits
-    shift = config.shift
+    if shift is None:
+        shift = config.shift
 
     # Per-phase timers (the reference's RUST_LOG=debug proof-time logging,
     # SURVEY.md §5): logged at DEBUG, one summary line at INFO.
@@ -522,9 +538,6 @@ def prove(
         log.debug("prove[%s n=%d]: %s %.2fs", type(air).__name__, n, label, now - _t0)
         _t0 = now
 
-    challenger = Challenger()
-    if transcript_seed:
-        challenger.observe_elements(transcript_seed)
     challenger.observe_elements(public_inputs)
 
     # Sharded-phase functions (memoized per AIR shape + mesh).
@@ -593,6 +606,7 @@ def prove(
         all_coeffs = GF.concatenate([trace_coeffs, aux_coeffs], axis=0)
     else:
         aux_tree = None
+        aux_rows = None
         all_lde = trace_lde
         all_coeffs = trace_coeffs
     alpha = challenger.sample_ext()
@@ -734,24 +748,41 @@ def prove(
     )
     _mark("deep")
 
-    # 6. FRI low-degree proof (degree bound n on domain N).
-    fri_proof = fri_prove(F, challenger, config.fri, shift, mesh=mesh)
-    _mark("fri")
+    ctx = _StmtCtx(
+        air=air,
+        n=n,
+        N=N,
+        trace_tree=trace_tree,
+        aux_tree=aux_tree,
+        quot_tree=quot_tree,
+        trace_rows=trace_rows,
+        aux_rows=aux_rows if n_aux else None,
+        quot_rows=quot_rows,
+        ood_trace=ood_trace,
+        ood_quotient=ood_quot,
+        public_inputs=list(public_inputs),
+    )
+    ctx.mark = _mark  # phase-timer continuation for the caller
+    ctx.phases = _phases
+    return ctx, F
 
-    # 7. Openings at the FRI query indices: gather ONLY the queried rows on
-    #    device and fetch those (the full row matrices are n_total * N field
-    #    elements — full to_ints was the prover's host-transfer bottleneck).
-    qs = sorted(set(int(q) for q in fri_proof.query_indices))
+
+def _statement_openings(ctx: _StmtCtx, indices) -> dict:
+    """Openings at the given leaf indices: gather ONLY the queried rows on
+    device and fetch those (the full row matrices are n_total * N field
+    elements — full to_ints was the prover's host-transfer bottleneck)."""
+    n_aux = ctx.air.n_aux_cols
+    qs = sorted(set(int(q) for q in indices))
     qarr = jnp.asarray(qs)
     from ..ops.goldilocks import fetch_ints_many
 
-    dev_arrs = [trace_rows[qarr], quot_rows[qarr]]
-    tg = trace_tree.sibling_gather(qs)
-    qg = quot_tree.sibling_gather(qs)
+    dev_arrs = [ctx.trace_rows[qarr], ctx.quot_rows[qarr]]
+    tg = ctx.trace_tree.sibling_gather(qs)
+    qg = ctx.quot_tree.sibling_gather(qs)
     dev_arrs += [tg[0], qg[0]]
     if n_aux:
-        ag = aux_tree.sibling_gather(qs)
-        dev_arrs += [aux_rows[qarr], ag[0]]
+        ag = ctx.aux_tree.sibling_gather(qs)
+        dev_arrs += [ctx.aux_rows[qarr], ag[0]]
     fetched = fetch_ints_many(dev_arrs)  # ONE host fetch for all openings
     trace_sel, quot_sel = fetched[0], fetched[1]
     trace_paths = MerkleTree.decode_paths(fetched[2], tg[1], tg[2])
@@ -770,24 +801,59 @@ def prove(
             quot_sel[k_q].tolist(),
             quot_paths[q],
         )
-    _mark("openings")
+    return openings
+
+
+def prove(
+    air: Air,
+    trace_cols: GF,
+    public_inputs: list[int],
+    config: StarkConfig = StarkConfig(),
+    transcript_seed: list[int] | None = None,
+    mesh=None,
+) -> StarkProof:
+    """trace_cols: (n_cols, n_rows) GF on device (row i = step i of the
+    computation). n_rows must be a power of two >= 4.
+
+    transcript_seed: optional field elements absorbed before the public
+    inputs — composite proofs chain their sub-proofs' transcripts through
+    this (the verifier must supply the same seed).
+
+    mesh: optional jax.sharding.Mesh — shards the LDEs (columns), the
+    constraint quotient + DEEP composition (domain rows, ppermute halo),
+    and Merkle leaf hashing across its devices (parallel/prover.py). The
+    proof bytes are identical to the single-chip path."""
+    challenger = Challenger()
+    if transcript_seed:
+        challenger.observe_elements(transcript_seed)
+    ctx, F = _prove_statement(
+        air, trace_cols, public_inputs, config, challenger, mesh=mesh
+    )
+
+    # 6. FRI low-degree proof (degree bound n on domain N).
+    fri_proof = fri_prove(F, challenger, config.fri, config.shift, mesh=mesh)
+    ctx.mark("fri")
+
+    # 7. Openings at the FRI query indices.
+    openings = _statement_openings(ctx, fri_proof.query_indices)
+    ctx.mark("openings")
     log.info(
         "prove[%s n=%d N=%d cols=%d] %s total=%.2fs",
-        type(air).__name__, n, N, n_cols + n_aux,
-        " ".join(f"{k}={v:.2f}" for k, v in _phases),
-        sum(v for _, v in _phases),
+        type(air).__name__, ctx.n, ctx.N, air.n_cols + air.n_aux_cols,
+        " ".join(f"{k}={v:.2f}" for k, v in ctx.phases),
+        sum(v for _, v in ctx.phases),
     )
 
     return StarkProof(
-        n_rows=n,
+        n_rows=ctx.n,
         public_inputs=list(public_inputs),
-        trace_root=trace_tree.root,
-        quotient_root=quot_tree.root,
-        ood_trace=ood_trace,
-        ood_quotient=ood_quot,
+        trace_root=ctx.trace_tree.root,
+        quotient_root=ctx.quot_tree.root,
+        ood_trace=ctx.ood_trace,
+        ood_quotient=ctx.ood_quotient,
         fri_proof=fri_proof,
         openings=openings,
-        aux_root=aux_tree.root if n_aux else None,
+        aux_root=ctx.aux_tree.root if air.n_aux_cols else None,
     )
 
 

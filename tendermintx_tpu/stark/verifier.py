@@ -39,13 +39,48 @@ def _verify_inner(
     config: StarkConfig,
     transcript_seed: list[int] | None,
 ) -> bool:
+    challenger = Challenger()
+    if transcript_seed:
+        challenger.observe_elements(transcript_seed)
+    eval_at = check_statement(air, proof, config, challenger, config.shift)
+    if eval_at is None:
+        return False
+
+    def layer0_check(idx: int, val) -> bool:
+        return eval_at(idx) == tuple(val)
+
+    n = proof.n_rows
+    return fri_verify(
+        proof.fri_proof,
+        degree_bound=n,
+        n=n << config.rate_bits,
+        challenger=challenger,
+        config=config.fri,
+        shift=config.shift,
+        layer0_check=layer0_check,
+    )
+
+
+def check_statement(
+    air: Air,
+    proof,
+    config: StarkConfig,
+    challenger: Challenger,
+    shift: int,
+):
+    """Replay one statement's transcript against a caller-owned challenger
+    and check its OOD composition identity. `proof` is anything with the
+    StarkProof statement fields (batch.StatementProof qualifies). Returns
+    `eval_at(idx) -> ext | None` — the recomputed DEEP codeword value at
+    LDE index `idx` from the statement's Merkle-verified openings — or
+    None if the statement is malformed/inconsistent. Both `verify` and
+    `batch.verify_batch` are built on this."""
     n = proof.n_rows
     log_n = n.bit_length() - 1
     if 1 << log_n != n:
-        return False
+        return None
     rate_bits = config.rate_bits
     N = n << rate_bits
-    shift = config.shift
     n_cols = air.n_cols
     n_aux = air.n_aux_cols
     n_total = n_cols + n_aux
@@ -53,22 +88,19 @@ def _verify_inner(
     offsets = list(air.frame_offsets)
 
     if len(proof.ood_trace) != len(offsets):
-        return False
+        return None
     if any(len(per) != n_total for per in proof.ood_trace):
-        return False
+        return None
     if len(proof.ood_quotient) != n_chunks:
-        return False
+        return None
     if len(proof.public_inputs) != air.n_public:
-        return False
+        return None
     if not air.validate_publics(list(proof.public_inputs)):
-        return False
+        return None
     if (proof.aux_root is None) != (n_aux == 0):
-        return False
+        return None
 
     # --- transcript replay ---
-    challenger = Challenger()
-    if transcript_seed:
-        challenger.observe_elements(transcript_seed)
     challenger.observe_elements(proof.public_inputs)
     challenger.observe_digest(proof.trace_root)
     challenges = [challenger.sample_ext() for _ in range(air.n_challenges)]
@@ -95,7 +127,7 @@ def _verify_inner(
     for pattern in air.periodic_columns():
         p_len = len(pattern)
         if p_len == 0 or p_len & (p_len - 1) or n % p_len:
-            return False
+            return None
         coeffs = periodic_interpolant(tuple(pattern))
         z_pow = ext_pow(z, n // p_len)
         acc = (0, 0)
@@ -107,7 +139,7 @@ def _verify_inner(
     public_cols_at_z = []
     for col in air.public_columns(list(proof.public_inputs), n):
         if len(col) != n:
-            return False
+            return None
         coeffs = periodic_interpolant(tuple(v % P for v in col))
         acc = (0, 0)
         for c in reversed(coeffs):
@@ -147,7 +179,7 @@ def _verify_inner(
             rhs, ext_mul(ext_pow(z, n * j), tuple(proof.ood_quotient[j]))
         )
     if lhs != rhs:
-        return False
+        return None
 
     # --- DEEP layer-0 recomputation hook for FRI ---
     # beta powers in prover order: per offset group (trace cols; plus
@@ -171,23 +203,23 @@ def _verify_inner(
 
     w_N = nttmod.primitive_root_of_unity(log_n + rate_bits)
 
-    def layer0_check(idx: int, val: tuple[int, int]) -> bool:
+    def eval_at(idx: int):
         opening = proof.openings.get(idx)
         if opening is None or len(opening) != 6:
-            return False
+            return None
         trace_row, trace_path, aux_row, aux_path, quot_row, quot_path = opening
         if len(trace_row) != n_cols or len(quot_row) != 2 * n_chunks:
-            return False
+            return None
         if len(aux_row) != n_aux:
-            return False
+            return None
         if not verify_opening(proof.trace_root, idx, list(trace_row), trace_path):
-            return False
+            return None
         if n_aux and not verify_opening(
             proof.aux_root, idx, list(aux_row), aux_path
         ):
-            return False
+            return None
         if not verify_opening(proof.quotient_root, idx, list(quot_row), quot_path):
-            return False
+            return None
         combined_row = list(trace_row) + list(aux_row)
         x = shift * pow(w_N, idx, P) % P
         total = (0, 0)
@@ -201,14 +233,6 @@ def _verify_inner(
                 G = ext_add(G, ext_mul(b, v))
             term = ext_mul(ext_sub(G, G0), ext_inv(ext_sub((x, 0), zk)))
             total = ext_add(total, term)
-        return total == tuple(val)
+        return total
 
-    return fri_verify(
-        proof.fri_proof,
-        degree_bound=n,
-        n=N,
-        challenger=challenger,
-        config=config.fri,
-        shift=shift,
-        layer0_check=layer0_check,
-    )
+    return eval_at
