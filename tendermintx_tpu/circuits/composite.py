@@ -4,32 +4,44 @@ The reference's deliverable is a single SNARK whose public inputs are the
 abi.encodePacked circuit IO (`circuit.prove()` at /root/reference/circuits/
 step.rs:223, consumed by `ISuccinctGateway.verifiedCall` at
 /root/reference/contracts/src/TendermintX.sol:111-114). The TPU-native
-equivalent: a CompositeProof — two Fiat–Shamir-chained STARKs plus the
-witness exposures that wire them together — whose public IO is exactly
+equivalent: a CompositeProof — ONE batch STARK (stark/batch.py: shared
+Fiat-Shamir transcript, one batch FRI across all three statements) — whose
+public IO is exactly
 
     abi_inputs  = abi.encodePacked(trusted_block, trusted_header[, target])
     abi_output  = target/next header hash (bytes32)
 
 and whose verifier needs ONLY this object (plus the chain config):
 
-  1. The hash STARK (circuits/hashing.py) proves validator leaves →
-     dynamic CometBFT Merkle tree → validators_hash → header-field Merkle
-     proofs → the trusted/target header hashes, exposing the validator
-     SimpleValidator encodings as proven preimages.
-  2. The Ed25519 STARK (stark/ed25519_air.py) proves Q = [s]B + [k](−A)
-     per signer, exposing (s, k, table, final state) publics the verifier
-     pins to each signature: k must equal SHA-512(R‖A‖M) for the exposed
-     message M, A must be the pubkey PARSED FROM THE PROVEN LEAF ENCODING,
-     and the final state must equal R projectively.
-  3. The verifier finishes with the reference's native wiring checks, all
+  1. The hash statement (Sha256Air over circuits/hashing.py's plan) proves
+     validator leaves → dynamic CometBFT Merkle tree → validators_hash →
+     header-field Merkle proofs → the trusted/target header hashes,
+     exposing the validator SimpleValidator encodings as proven preimages.
+  2. The Ed25519 statement (stark/ed25519_air.py) proves Q = [s]B + [k](−A)
+     per signer; its publics bind each lane to (s, k, slot tables, final
+     state) and the verifier pins them to each signature: A is the pubkey
+     PARSED FROM THE PROVEN LEAF ENCODING, k = SHA-512(R‖A‖M), and the
+     final state must equal R projectively.
+  3. The SHA-512 statement proves the k-derivation table over every
+     signer's challenge preimage R ‖ A ‖ M — the table the reference
+     proves in-circuit (verify.rs:248-259).
+  4. The verifier finishes with the reference's native wiring checks, all
      O(N) integer comparisons over proven data: precommit message contents
      (height/round/header-hash window, validator.rs:81-183), 2/3 voting
      power (voting.rs:66-109), the 1/3 trusted intersection
      (verify.rs:391-437), and the skip distance (verify.rs:508-526).
 
-Transcript chaining: the hash STARK's transcript is seeded with the ABI IO;
-the Ed25519 STARK's with the ABI IO plus the hash proof's commitment roots.
-Neither sub-proof verifies outside this composite statement.
+All three statements share one transcript (seeded with the ABI IO) and one
+FRI layer family / query set, so the serialized object carries a single
+proof's worth of FRI data. Publics that are a deterministic function of
+data the proof already carries are NOT serialized: the Ed25519 lane
+publics (except the 60 projective final-state limbs per lane) and ALL
+SHA-512 publics are reconstructed at deserialization from the signers +
+proven validator encodings.
+
+Default security: rate_bits=3, 28 queries, 16 pow bits = 100 conjectured
+bits (plonky2's standard-config target; /root/reference/Cargo.lock:2957).
+Verifiers reject configs below MIN_SECURITY_BITS.
 """
 
 from __future__ import annotations
@@ -41,36 +53,50 @@ from ..inputs.conversion import (
     DUMMY_PUBLIC_KEY,
     DUMMY_SIGNATURE,
 )
+from ..stark.batch import BatchStarkProof, prove_batch, verify_batch
 from ..stark.ed25519_air import (
     PUB_PER_SIG,
+    SEGMENT as ED_SEGMENT_ROWS,
     Ed25519Air,
     check_lane_publics,
+    derive_lane_publics,
     ed25519_air_trace,
 )
-from ..ops.ed25519 import L_ORDER
 from ..stark.sha512_air import (
     PUB_PER_SEGMENT as PUB_PER_SHA512_SEGMENT,
+    SEGMENT as SHA512_SEGMENT_ROWS,
     Sha512Air,
-    digest_halves_to_bytes,
     pad_message_512,
     schedule_messages_512,
     sha512_batch_trace,
+    sha512_publics,
 )
-from ..stark.prover import StarkConfig, StarkProof, prove
-from ..stark.serialize import stark_proof_from_dict, stark_proof_to_dict
-from ..stark.verifier import verify
+from ..stark.prover import StarkConfig
+from ..stark.serialize import (
+    _pack,
+    _unpack,
+    batch_proof_from_dict,
+    batch_proof_to_dict,
+)
+from ..stark.sha256_air import PUB_PER_SEGMENT as PUB_PER_HASH_SEGMENT, Sha256Air
 from .hashing import (
-    DEFAULT_HASH_CONFIG,
-    HashBundle,
-    prove_skip_hashes,
-    prove_step_hashes,
-    verify_skip_hashes,
-    verify_step_hashes,
+    SEGMENT_ROWS as HASH_SEGMENT_ROWS,
+    build_skip_plan,
+    build_step_plan,
+    check_plan,
+    check_skip_hash_publics,
+    check_step_hash_publics,
+    skip_hash_statement,
+    step_hash_statement,
 )
 from .skip import decode_skip_input, encode_skip_input
 from .step import decode_step_input, encode_step_input
 
-DEFAULT_ED_CONFIG = StarkConfig(rate_bits=2, n_queries=28, final_poly_len=64)
+# 100 conjectured bits: rate_bits * n_queries + pow = 3*28 + 16.
+DEFAULT_COMPOSITE_CONFIG = StarkConfig(
+    rate_bits=3, n_queries=28, final_poly_len=64, proof_of_work_bits=16
+)
+MIN_SECURITY_BITS = 100
 
 
 # ---------------------------------------------------------------------------
@@ -164,37 +190,30 @@ class CompositeProof:
     abi_inputs: bytes
     abi_output: bytes  # bytes32 target/next header
     round: int
-    hash_bundle: HashBundle
-    ed_proof: StarkProof
-    n_ed_segments: int
+    nb: int  # target/new validator count
+    nb_trusted: int  # skip only (0 for step)
+    n_hash_segments: int
+    n_ed_segments: int  # B: Ed25519 lanes (power of two)
+    n_sha512_blocks: int
     signers: list[LaneSig]
-    # Challenge-hash proof: SHA-512 STARK over every signer's k-preimage
-    # R ‖ A ‖ M, Fiat–Shamir-chained after the Ed25519 proof. The composite
-    # verifier is sound without it (check_lane_publics recomputes the hash
-    # natively), but with it the k-derivation is PROVEN — the table the
-    # reference proves in-circuit (verify.rs:248-259) — so a constrained
-    # (e.g. on-chain) verifier never hashes message bytes itself.
-    sha512_proof: StarkProof | None = None
-    n_sha512_blocks: int = 0
+    # per Ed25519 lane, the 60 final-state limbs (X,Y,Z in 13-bit limbs) —
+    # the only lane publics that aren't a deterministic function of
+    # (pubkey, message, signature); everything else is reconstructed
+    ed_finals: list[list[int]]
+    batch: BatchStarkProof
 
     def to_dict(self) -> dict:
         return {
             "kind": f"{self.kind}-composite",
-            "version": 1,
+            "version": 2,
             "abi_inputs": self.abi_inputs.hex(),
             "abi_output": self.abi_output.hex(),
             "round": self.round,
-            "hash_bundle": self.hash_bundle.to_dict(),
-            "ed_proof": stark_proof_to_dict(self.ed_proof),
+            "nb": self.nb,
+            "nb_trusted": self.nb_trusted,
+            "n_hash_segments": self.n_hash_segments,
             "n_ed_segments": self.n_ed_segments,
-            **(
-                {
-                    "sha512_proof": stark_proof_to_dict(self.sha512_proof),
-                    "n_sha512_blocks": self.n_sha512_blocks,
-                }
-                if self.sha512_proof is not None
-                else {}
-            ),
+            "n_sha512_blocks": self.n_sha512_blocks,
             "signers": [
                 {
                     "index": s.index,
@@ -203,6 +222,12 @@ class CompositeProof:
                 }
                 for s in self.signers
             ],
+            "ed_finals": _pack([v for fin in self.ed_finals for v in fin]),
+            # hash-statement publics ship; Ed25519/SHA-512 publics are
+            # reconstructed at from_dict
+            "batch": batch_proof_to_dict(
+                self.batch, publics_flags=[True, False, False]
+            ),
         }
 
     @classmethod
@@ -214,29 +239,150 @@ class CompositeProof:
         kind = str(d["kind"])
         if not kind.endswith("-composite"):
             raise ValueError(f"not a composite proof kind: {kind!r}")
+        kind = kind[: -len("-composite")]
+        if kind not in ("skip", "step"):
+            raise ValueError(f"unknown composite kind: {kind!r}")
+        if int(d.get("version", 0)) != 2:
+            raise ValueError("unsupported composite proof version")
+        signers = [
+            LaneSig(
+                index=int(s["index"]),
+                message=bytes.fromhex(s["message"]),
+                signature=bytes.fromhex(s["signature"]),
+            )
+            for s in d["signers"]
+        ]
+        nb = int(d["nb"])
+        nb_trusted = int(d["nb_trusted"])
+        n_hash_segments = int(d["n_hash_segments"])
+        B = int(d["n_ed_segments"])
+        n_sha512_blocks = int(d["n_sha512_blocks"])
+        # Range-validate every count BEFORE reconstruction walks plans or
+        # allocates (a mutated nb/segment count must fail cleanly here,
+        # not via bare asserts in the plan builders — and must not be a
+        # memory-amplification vector either).
+        if not (1 <= nb <= 4096):
+            raise ValueError("bad validator count")
+        if not (0 <= nb_trusted <= 4096):
+            raise ValueError("bad trusted validator count")
+        if kind == "skip" and nb_trusted < 1:
+            raise ValueError("skip proof needs a trusted set")
+        if not (1 <= n_hash_segments <= 1 << 20) or n_hash_segments & (
+            n_hash_segments - 1
+        ):
+            raise ValueError("bad hash segment count")
+        if not (1 <= n_sha512_blocks <= 1 << 20):
+            raise ValueError("bad sha512 block count")
+        if not (1 <= B <= 1 << 20) or B & (B - 1):
+            raise ValueError("bad ed segment count")
+        if len(signers) > B:
+            raise ValueError("more signers than ed lanes")
+        fin_flat = _unpack(d["ed_finals"], 60 * B)
+        ed_finals = [fin_flat[60 * i : 60 * (i + 1)] for i in range(B)]
+
+        batch_d = d["batch"]
+        stmts = batch_d["statements"]
+        if len(stmts) != 3:
+            raise ValueError("composite batch must have 3 statements")
+        hash_publics = _unpack(stmts[0]["public_inputs"])
+        ed_publics, sha_publics = _reconstruct_publics(
+            kind, nb, nb_trusted, n_hash_segments, hash_publics, signers,
+            ed_finals, B,
+        )
+        batch = batch_proof_from_dict(
+            batch_d, publics_list=[None, ed_publics, sha_publics]
+        )
         return cls(
-            kind=kind[: -len("-composite")],
+            kind=kind,
             abi_inputs=bytes.fromhex(d["abi_inputs"]),
             abi_output=bytes.fromhex(d["abi_output"]),
             round=int(d["round"]),
-            hash_bundle=HashBundle.from_dict(d["hash_bundle"]),
-            ed_proof=stark_proof_from_dict(d["ed_proof"]),
-            n_ed_segments=int(d["n_ed_segments"]),
-            sha512_proof=(
-                stark_proof_from_dict(d["sha512_proof"])
-                if d.get("sha512_proof") is not None
-                else None
-            ),
-            n_sha512_blocks=int(d.get("n_sha512_blocks", 0)),
-            signers=[
-                LaneSig(
-                    index=int(s["index"]),
-                    message=bytes.fromhex(s["message"]),
-                    signature=bytes.fromhex(s["signature"]),
-                )
-                for s in d["signers"]
-            ],
+            nb=nb,
+            nb_trusted=nb_trusted,
+            n_hash_segments=n_hash_segments,
+            n_ed_segments=B,
+            n_sha512_blocks=n_sha512_blocks,
+            signers=signers,
+            ed_finals=ed_finals,
+            batch=batch,
         )
+
+
+def _signer_pubkeys(
+    kind: str,
+    nb: int,
+    nb_trusted: int,
+    n_hash_segments: int,
+    hash_publics: list[int],
+    signers: list[LaneSig],
+) -> list[bytes]:
+    """Parse each signer's pubkey out of the (to-be-verified) hash
+    statement's proven leaf encodings. Raises ValueError on any
+    structural mismatch (from_dict's failure contract)."""
+    if kind == "skip":
+        plan, h = build_skip_plan(nb, nb_trusted)
+        leaf_jobs = h.target_leaves
+    else:
+        plan, h = build_step_plan(nb)
+        leaf_jobs = h.leaves
+    res = check_plan(plan, hash_publics, n_hash_segments)
+    if res is None:
+        raise ValueError("hash publics do not match the plan")
+    pks = []
+    for ls in signers:
+        if not 0 <= ls.index < len(leaf_jobs):
+            raise ValueError("signer index out of range")
+        enc = res.data[leaf_jobs[ls.index]]
+        if not enc or enc[0] != 0x00:
+            raise ValueError("malformed leaf encoding")
+        parsed = parse_simple_validator(enc[1:])
+        if parsed is None:
+            raise ValueError("unparseable validator encoding")
+        pks.append(parsed[0])
+    return pks
+
+
+def _reconstruct_publics(
+    kind: str,
+    nb: int,
+    nb_trusted: int,
+    n_hash_segments: int,
+    hash_publics: list[int],
+    signers: list[LaneSig],
+    ed_finals: list[list[int]],
+    B: int,
+) -> tuple[list[int], list[int]]:
+    """Rebuild the Ed25519 and SHA-512 statements' public inputs from the
+    serialized signers + proven encodings + per-lane finals."""
+    if len(signers) > B:
+        raise ValueError("more signers than ed lanes")
+    signer_pks = _signer_pubkeys(
+        kind, nb, nb_trusted, n_hash_segments, hash_publics, signers
+    )
+    ed_publics: list[int] = []
+    for lane in range(B):
+        if lane < len(signers):
+            ls = signers[lane]
+            if len(ls.signature) != 64:
+                raise ValueError("bad signature length")
+            head = derive_lane_publics(
+                signer_pks[lane], ls.message, ls.signature
+            )
+        else:
+            head = derive_lane_publics(
+                DUMMY_PUBLIC_KEY, DUMMY_MESSAGE, DUMMY_SIGNATURE
+            )
+        if head is None:
+            raise ValueError("signature fails to decompress")
+        fin = ed_finals[lane]
+        if len(fin) != 60:
+            raise ValueError("bad final-state limb count")
+        ed_publics.extend(head)
+        ed_publics.extend(int(v) for v in fin)
+
+    blocks, chain, _spans = _challenge_blocks(signers, signer_pks)
+    sha_publics = sha512_publics(blocks, chain)
+    return ed_publics, sha_publics
 
 
 # ---------------------------------------------------------------------------
@@ -244,9 +390,9 @@ class CompositeProof:
 # ---------------------------------------------------------------------------
 
 
-def _prove_ed_lanes(
-    lanes, nb: int, seed: list[int], ed_config: StarkConfig
-) -> tuple[StarkProof, int, list[LaneSig], list[bytes]]:
+def _ed_statement(lanes, nb: int):
+    """(air, trace, publics, B, signers, signer_pks) for the target set's
+    signatures, dummy-padded to a power-of-two lane count."""
     signers = []
     pks, msgs, sigs = [], [], []
     for i, l in enumerate(lanes[:nb]):
@@ -263,8 +409,7 @@ def _prove_ed_lanes(
         msgs.append(DUMMY_MESSAGE)
         sigs.append(DUMMY_SIGNATURE)
     trace, publics = ed25519_air_trace(pks, msgs, sigs)
-    proof = prove(Ed25519Air(B), trace, publics, ed_config, transcript_seed=seed)
-    return proof, B, signers, signer_pks
+    return Ed25519Air(B), trace, publics, B, signers, signer_pks
 
 
 def _challenge_blocks(signers: list[LaneSig], signer_pks: list[bytes]):
@@ -283,20 +428,19 @@ def _challenge_blocks(signers: list[LaneSig], signer_pks: list[bytes]):
     return blocks, chain, spans
 
 
-def _prove_challenge_hashes(
-    signers: list[LaneSig],
-    signer_pks: list[bytes],
-    seed: list[int],
-    config: StarkConfig,
-) -> tuple[StarkProof | None, int]:
-    if not signers:
-        return None, 0
+def _sha512_statement(signers: list[LaneSig], signer_pks: list[bytes]):
+    """(air, trace, publics, n_blocks) for the challenge-hash table."""
+    assert signers, "a valid commit has at least one signer"
     blocks, chain, _ = _challenge_blocks(signers, signer_pks)
     trace, publics = sha512_batch_trace(blocks, chain)
-    proof = prove(
-        Sha512Air(len(blocks)), trace, publics, config, transcript_seed=seed
-    )
-    return proof, len(blocks)
+    return Sha512Air(len(blocks)), trace, publics, len(blocks)
+
+
+def _ed_finals_from_publics(publics: list[int], B: int) -> list[list[int]]:
+    return [
+        [int(v) for v in publics[PUB_PER_SIG * l + 160 : PUB_PER_SIG * (l + 1)]]
+        for l in range(B)
+    ]
 
 
 def prove_skip_composite(
@@ -304,44 +448,41 @@ def prove_skip_composite(
     trusted_header: bytes,
     target_block: int,
     inputs,
-    hash_config: StarkConfig = DEFAULT_HASH_CONFIG,
-    ed_config: StarkConfig = DEFAULT_ED_CONFIG,
+    config: StarkConfig = DEFAULT_COMPOSITE_CONFIG,
+    mesh=None,
 ) -> CompositeProof:
-    """inputs: fetcher.SkipInputs for (trusted_block, target_block)."""
+    """inputs: fetcher.SkipInputs for (trusted_block, target_block).
+    mesh: optional jax.sharding.Mesh — every statement's LDE/quotient/
+    DEEP/Merkle phases and the shared FRI folds shard across it."""
     abi_in = encode_skip_input(trusted_block, trusted_header, target_block)
     abi_out = inputs.target_header
-    seed_h = _seed_felts(abi_in, abi_out)
-    hb = prove_skip_hashes(inputs, hash_config, transcript_seed=seed_h)
-    seed_e = _seed_felts(
-        abi_in, abi_out, roots=[hb.proof.trace_root, hb.proof.quotient_root]
+    air_h, trace_h, pub_h, nb, nbt = skip_hash_statement(inputs)
+    air_e, trace_e, pub_e, B, signers, signer_pks = _ed_statement(
+        inputs.target_block_validators, inputs.nb_target_validators
     )
-    ed_proof, B, signers, signer_pks = _prove_ed_lanes(
-        inputs.target_block_validators, inputs.nb_target_validators, seed_e, ed_config
-    )
-    seed_c = _seed_felts(
-        abi_in,
-        abi_out,
-        roots=[
-            hb.proof.trace_root,
-            hb.proof.quotient_root,
-            ed_proof.trace_root,
-            ed_proof.quotient_root,
-        ],
-    )
-    ch_proof, n_blocks = _prove_challenge_hashes(
-        signers, signer_pks, seed_c, ed_config
+    air_c, trace_c, pub_c, n_blocks = _sha512_statement(signers, signer_pks)
+    seed = _seed_felts(abi_in, abi_out)
+    batch = prove_batch(
+        [air_h, air_e, air_c],
+        [trace_h, trace_e, trace_c],
+        [pub_h, pub_e, pub_c],
+        config,
+        transcript_seed=seed,
+        mesh=mesh,
     )
     return CompositeProof(
         kind="skip",
         abi_inputs=abi_in,
         abi_output=abi_out,
         round=inputs.target_round,
-        hash_bundle=hb,
-        ed_proof=ed_proof,
+        nb=nb,
+        nb_trusted=nbt,
+        n_hash_segments=len(pub_h) // PUB_PER_HASH_SEGMENT,
         n_ed_segments=B,
-        signers=signers,
-        sha512_proof=ch_proof,
         n_sha512_blocks=n_blocks,
+        signers=signers,
+        ed_finals=_ed_finals_from_publics(pub_e, B),
+        batch=batch,
     )
 
 
@@ -349,44 +490,39 @@ def prove_step_composite(
     prev_block: int,
     prev_header: bytes,
     inputs,
-    hash_config: StarkConfig = DEFAULT_HASH_CONFIG,
-    ed_config: StarkConfig = DEFAULT_ED_CONFIG,
+    config: StarkConfig = DEFAULT_COMPOSITE_CONFIG,
+    mesh=None,
 ) -> CompositeProof:
     """inputs: fetcher.StepInputs for prev_block."""
     abi_in = encode_step_input(prev_block, prev_header)
     abi_out = inputs.next_header
-    seed_h = _seed_felts(abi_in, abi_out)
-    hb = prove_step_hashes(inputs, hash_config, transcript_seed=seed_h)
-    seed_e = _seed_felts(
-        abi_in, abi_out, roots=[hb.proof.trace_root, hb.proof.quotient_root]
+    air_h, trace_h, pub_h, nb = step_hash_statement(inputs)
+    air_e, trace_e, pub_e, B, signers, signer_pks = _ed_statement(
+        inputs.next_block_validators, inputs.nb_validators
     )
-    ed_proof, B, signers, signer_pks = _prove_ed_lanes(
-        inputs.next_block_validators, inputs.nb_validators, seed_e, ed_config
-    )
-    seed_c = _seed_felts(
-        abi_in,
-        abi_out,
-        roots=[
-            hb.proof.trace_root,
-            hb.proof.quotient_root,
-            ed_proof.trace_root,
-            ed_proof.quotient_root,
-        ],
-    )
-    ch_proof, n_blocks = _prove_challenge_hashes(
-        signers, signer_pks, seed_c, ed_config
+    air_c, trace_c, pub_c, n_blocks = _sha512_statement(signers, signer_pks)
+    seed = _seed_felts(abi_in, abi_out)
+    batch = prove_batch(
+        [air_h, air_e, air_c],
+        [trace_h, trace_e, trace_c],
+        [pub_h, pub_e, pub_c],
+        config,
+        transcript_seed=seed,
+        mesh=mesh,
     )
     return CompositeProof(
         kind="step",
         abi_inputs=abi_in,
         abi_output=abi_out,
         round=inputs.round,
-        hash_bundle=hb,
-        ed_proof=ed_proof,
+        nb=nb,
+        nb_trusted=0,
+        n_hash_segments=len(pub_h) // PUB_PER_HASH_SEGMENT,
         n_ed_segments=B,
-        signers=signers,
-        sha512_proof=ch_proof,
         n_sha512_blocks=n_blocks,
+        signers=signers,
+        ed_finals=_ed_finals_from_publics(pub_e, B),
+        batch=batch,
     )
 
 
@@ -395,18 +531,79 @@ def prove_step_composite(
 # ---------------------------------------------------------------------------
 
 
-def _verify_common(
+def _verify_batch_and_common(
+    proof: CompositeProof, config: StarkConfig, min_security_bits: int
+):
+    """Shape checks, ONE batch verification, then the shared wiring
+    checks: parse the proven validator encodings, pin each signer lane,
+    run the message checks, and the 2/3 voting threshold. Returns
+    (facts_publics, vals, signer_pk_set) or None.
+
+    The Ed25519/SHA-512 publics the batch verifies against were
+    reconstructed (at from_dict, or directly by the prover) from the
+    signers + the hash statement's proven encodings + the per-lane final
+    states, so every per-lane equality the round-2 verifier checked
+    against shipped publics holds by construction; what remains real is
+    the STARK verification itself, the final-state-vs-R binding, the
+    message checks, and the voting arithmetic."""
+    if config.fri.security_bits < min_security_bits:
+        return None
+    if not (0 <= proof.round < (1 << 31)):
+        return None
+    B = proof.n_ed_segments
+    if B < 1 or B & (B - 1):
+        return None
+    if not (0 < len(proof.signers) <= B):
+        return None
+    if len(proof.ed_finals) != B:
+        return None
+    if len(proof.batch.statements) != 3:
+        return None
+    st_h, st_e, st_c = proof.batch.statements
+    if st_h.n_rows != proof.n_hash_segments * HASH_SEGMENT_ROWS:
+        return None
+    if st_e.n_rows != B * ED_SEGMENT_ROWS:
+        return None
+    if st_c.n_rows != proof.n_sha512_blocks * SHA512_SEGMENT_ROWS:
+        return None
+    airs = [
+        Sha256Air(proof.n_hash_segments),
+        Ed25519Air(B),
+        Sha512Air(proof.n_sha512_blocks),
+    ]
+    seed = _seed_felts(proof.abi_inputs, proof.abi_output)
+    if not verify_batch(airs, proof.batch, config, transcript_seed=seed):
+        return None
+
+    # Reconstructed-publics consistency: a CompositeProof built in-process
+    # (not via from_dict) could carry arbitrary ed/sha512 publics; re-derive
+    # and compare so both construction paths verify the same statement.
+    try:
+        ed_pub, sha_pub = _reconstruct_publics(
+            proof.kind, proof.nb, proof.nb_trusted, proof.n_hash_segments,
+            [int(v) for v in st_h.public_inputs], proof.signers,
+            proof.ed_finals, B,
+        )
+    except (ValueError, KeyError, IndexError, TypeError):
+        return None
+    if [int(v) for v in st_e.public_inputs] != ed_pub:
+        return None
+    if [int(v) for v in st_c.public_inputs] != sha_pub:
+        return None
+    if len(sha_pub) != PUB_PER_SHA512_SEGMENT * proof.n_sha512_blocks:
+        return None
+    return st_h, st_e
+
+
+def _common_lane_checks(
     proof: CompositeProof,
     encodings: list[bytes],
     header_hash: bytes,
     height: int,
-    hash_roots,
-    ed_config: StarkConfig,
+    ed_publics: list[int],
 ):
-    """Checks shared by step/skip once the hash facts exist: parse the
-    proven validator encodings, verify the Ed25519 STARK lane by lane, run
-    the message checks, and compute the 2/3 voting threshold. Returns the
-    (pubkey, power) list and the set of signer pubkeys, or None."""
+    """Parse encodings, pin lanes, message checks, 2/3 threshold.
+    Returns (vals, signer_pk_set) or None."""
     vals = []
     for enc in encodings:
         parsed = parse_simple_validator(enc)
@@ -414,28 +611,14 @@ def _verify_common(
             return None
         vals.append(parsed)
 
-    if not (0 <= proof.round < (1 << 31)):
-        return None
-    B = proof.n_ed_segments
-    if B < 1 or B & (B - 1) or len(proof.signers) > B:
-        return None
-    seed_e = _seed_felts(
-        proof.abi_inputs, proof.abi_output, roots=list(hash_roots)
-    )
-    if len(proof.ed_proof.public_inputs) != PUB_PER_SIG * B:
-        return None
-    if not verify(Ed25519Air(B), proof.ed_proof, ed_config, transcript_seed=seed_e):
-        return None
-
     prev_index = -1
     signer_pks = []
-    publics = proof.ed_proof.public_inputs
     for lane, ls in enumerate(proof.signers):
         if not (prev_index < ls.index < len(vals)):
             return None  # indices strictly increasing: no double counting
         prev_index = ls.index
         pk = vals[ls.index][0]
-        seg = publics[PUB_PER_SIG * lane : PUB_PER_SIG * (lane + 1)]
+        seg = ed_publics[PUB_PER_SIG * lane : PUB_PER_SIG * (lane + 1)]
         if len(ls.signature) != 64:
             return None
         if not check_lane_publics(seg, pk, ls.message, ls.signature):
@@ -448,59 +631,6 @@ def _verify_common(
     signed_power = sum(vals[ls.index][1] for ls in proof.signers)
     if not signed_power * 3 > total * 2:
         return None
-
-    # Optional challenge-hash proof: when present it must verify against
-    # the chained transcript, its message blocks must be exactly the
-    # R ‖ A ‖ M preimages this verifier assembles from proven data, and
-    # each signer's proven digest must reduce (mod L) to the k scalar the
-    # Ed25519 proof used. Presence never weakens soundness (the lane
-    # checks above recompute the hash natively); it makes the k-derivation
-    # proven, matching the reference's in-circuit SHA-512 table.
-    if proof.sha512_proof is not None:
-        if not proof.signers:
-            return None
-        blocks, chain, spans = _challenge_blocks(proof.signers, signer_pks)
-        if proof.n_sha512_blocks != len(blocks):
-            return None
-        seed_c = _seed_felts(
-            proof.abi_inputs,
-            proof.abi_output,
-            roots=list(hash_roots)
-            + [proof.ed_proof.trace_root, proof.ed_proof.quotient_root],
-        )
-        if not verify(
-            Sha512Air(len(blocks)),
-            proof.sha512_proof,
-            ed_config,
-            transcript_seed=seed_c,
-        ):
-            return None
-        pubs = proof.sha512_proof.public_inputs
-        if len(pubs) != PUB_PER_SHA512_SEGMENT * len(blocks):
-            return None
-        for s, blk in enumerate(blocks):
-            base = PUB_PER_SHA512_SEGMENT * s
-            for i in range(16):
-                word = int.from_bytes(blk[8 * i : 8 * i + 8], "big")
-                if int(pubs[base + 2 * i]) != word & 0xFFFFFFFF:
-                    return None
-                if int(pubs[base + 2 * i + 1]) != word >> 32:
-                    return None
-            if int(pubs[base + 48]) != chain[s]:
-                return None
-        for lane, (first, n_seg) in enumerate(spans):
-            last = PUB_PER_SHA512_SEGMENT * (first + n_seg - 1)
-            digest = digest_halves_to_bytes(
-                [int(v) for v in pubs[last + 32 : last + 48]]
-            )
-            k = int.from_bytes(digest, "little") % L_ORDER
-            seg = publics[PUB_PER_SIG * lane : PUB_PER_SIG * (lane + 1)]
-            if any(
-                int(seg[20 + i]) != ((k >> (13 * i)) & 0x1FFF)
-                for i in range(20)
-            ):
-                return None
-
     return vals, set(signer_pks)
 
 
@@ -519,8 +649,8 @@ def verify_skip_composite(
     proof: CompositeProof,
     chain_id: str,
     skip_max: int,
-    hash_config: StarkConfig = DEFAULT_HASH_CONFIG,
-    ed_config: StarkConfig = DEFAULT_ED_CONFIG,
+    config: StarkConfig = DEFAULT_COMPOSITE_CONFIG,
+    min_security_bits: int = MIN_SECURITY_BITS,
 ) -> tuple[int, bytes, int, bytes] | None:
     """Returns (trusted_block, trusted_header, target_block, target_header)
     on success, None otherwise — NEVER an exception (a structurally broken
@@ -529,7 +659,7 @@ def verify_skip_composite(
     verify_skip (verify.rs:528-563) with every hash/signature fact proven."""
     try:
         return _verify_skip_inner(
-            proof, chain_id, skip_max, hash_config, ed_config
+            proof, chain_id, skip_max, config, min_security_bits
         )
     except _VERIFY_EXC:
         return None
@@ -539,8 +669,8 @@ def _verify_skip_inner(
     proof: CompositeProof,
     chain_id: str,
     skip_max: int,
-    hash_config: StarkConfig,
-    ed_config: StarkConfig,
+    config: StarkConfig,
+    min_security_bits: int,
 ) -> tuple[int, bytes, int, bytes] | None:
     if proof.kind != "skip" or len(proof.abi_inputs) != 48:
         return None
@@ -554,30 +684,29 @@ def _verify_skip_inner(
     if not (trusted_block + 1 < target_block <= trusted_block + skip_max):
         return None
 
-    seed_h = _seed_felts(proof.abi_inputs, proof.abi_output)
-    facts = verify_skip_hashes(
-        proof.hash_bundle,
+    common = _verify_batch_and_common(proof, config, min_security_bits)
+    if common is None:
+        return None
+    st_h, st_e = common
+    facts = check_skip_hash_publics(
+        [int(v) for v in st_h.public_inputs],
+        proof.n_hash_segments,
+        proof.nb,
+        proof.nb_trusted,
         chain_id,
         trusted_header,
         target_header,
         target_block,
-        hash_config,
-        transcript_seed=seed_h,
     )
     if facts is None:
         return None
-
-    common = _verify_common(
-        proof,
-        facts.target_encodings,
-        target_header,
-        target_block,
-        (proof.hash_bundle.proof.trace_root, proof.hash_bundle.proof.quotient_root),
-        ed_config,
+    lane_out = _common_lane_checks(
+        proof, facts.target_encodings, target_header, target_block,
+        [int(v) for v in st_e.public_inputs],
     )
-    if common is None:
+    if lane_out is None:
         return None
-    _, signer_pks = common
+    _, signer_pks = lane_out
 
     # 1/3 intersection over the trusted set (verify.rs:391-437)
     trusted_vals = []
@@ -597,8 +726,8 @@ def _verify_skip_inner(
 def verify_step_composite(
     proof: CompositeProof,
     chain_id: str,
-    hash_config: StarkConfig = DEFAULT_HASH_CONFIG,
-    ed_config: StarkConfig = DEFAULT_ED_CONFIG,
+    config: StarkConfig = DEFAULT_COMPOSITE_CONFIG,
+    min_security_bits: int = MIN_SECURITY_BITS,
 ) -> tuple[int, bytes, bytes] | None:
     """Returns (prev_block, prev_header, next_header) on success, None
     otherwise — NEVER an exception (see verify_skip_composite). Mirrors
@@ -606,7 +735,7 @@ def verify_step_composite(
     prev+1 plus the prev-hash and next-validators-hash links (both enforced
     inside the hash STARK's statement bindings)."""
     try:
-        return _verify_step_inner(proof, chain_id, hash_config, ed_config)
+        return _verify_step_inner(proof, chain_id, config, min_security_bits)
     except _VERIFY_EXC:
         return None
 
@@ -614,8 +743,8 @@ def verify_step_composite(
 def _verify_step_inner(
     proof: CompositeProof,
     chain_id: str,
-    hash_config: StarkConfig,
-    ed_config: StarkConfig,
+    config: StarkConfig,
+    min_security_bits: int,
 ) -> tuple[int, bytes, bytes] | None:
     if proof.kind != "step" or len(proof.abi_inputs) != 40:
         return None
@@ -624,27 +753,25 @@ def _verify_step_inner(
     if len(next_header) != 32:
         return None
 
-    seed_h = _seed_felts(proof.abi_inputs, proof.abi_output)
-    facts = verify_step_hashes(
-        proof.hash_bundle,
+    common = _verify_batch_and_common(proof, config, min_security_bits)
+    if common is None:
+        return None
+    st_h, st_e = common
+    facts = check_step_hash_publics(
+        [int(v) for v in st_h.public_inputs],
+        proof.n_hash_segments,
+        proof.nb,
         chain_id,
         prev_header,
         next_header,
         prev_block + 1,
-        hash_config,
-        transcript_seed=seed_h,
     )
     if facts is None:
         return None
-
-    common = _verify_common(
-        proof,
-        facts.encodings,
-        next_header,
-        prev_block + 1,
-        (proof.hash_bundle.proof.trace_root, proof.hash_bundle.proof.quotient_root),
-        ed_config,
+    lane_out = _common_lane_checks(
+        proof, facts.encodings, next_header, prev_block + 1,
+        [int(v) for v in st_e.public_inputs],
     )
-    if common is None:
+    if lane_out is None:
         return None
     return prev_block, prev_header, next_header

@@ -139,17 +139,16 @@ def _next_pow2(n: int) -> int:
     return 1 << max(n - 1, 0).bit_length()
 
 
-def prove_plan(
+def plan_statement(
     plan: Plan,
     data_map: dict[int, bytes],
     aunt_map: dict[int, bytes],
-    config: StarkConfig = DEFAULT_HASH_CONFIG,
     min_segments: int = 32,
-    transcript_seed: list[int] | None = None,
-) -> StarkProof:
-    """Prove every job in `plan`. data_map: bytes per data job; aunt_map:
-    32-byte aunt per inner job with a free side. The trace is padded with
-    throwaway empty-message segments to a power-of-two segment count."""
+):
+    """Build the Sha256Air statement for `plan`: (air, trace, publics).
+    data_map: bytes per data job; aunt_map: 32-byte aunt per inner job
+    with a free side. The trace is padded with throwaway empty-message
+    segments to a power-of-two segment count."""
     digests: list[bytes] = []
     messages: list[bytes] = []
     for j, job in enumerate(plan.jobs):
@@ -174,7 +173,20 @@ def prove_plan(
         blocks.append(pad_message(b"")[0])
         chain.append(0)
     trace, publics = sha256_batch_trace(blocks, chain)
-    air = Sha256Air(total)
+    return Sha256Air(total), trace, publics
+
+
+def prove_plan(
+    plan: Plan,
+    data_map: dict[int, bytes],
+    aunt_map: dict[int, bytes],
+    config: StarkConfig = DEFAULT_HASH_CONFIG,
+    min_segments: int = 32,
+    transcript_seed: list[int] | None = None,
+) -> StarkProof:
+    """Prove every job in `plan` as a standalone STARK (the composite
+    instead feeds plan_statement into the batch prover)."""
+    air, trace, publics = plan_statement(plan, data_map, aunt_map, min_segments)
     return prove(air, trace, publics, config, transcript_seed=transcript_seed)
 
 
@@ -406,11 +418,10 @@ def _aunt_map_for(plan: Plan, root_jobs: list[tuple[int, list[bytes]]]) -> dict[
     return out
 
 
-def prove_skip_hashes(
-    inputs, config: StarkConfig = DEFAULT_HASH_CONFIG,
-    transcript_seed: list[int] | None = None,
-) -> HashBundle:
-    """inputs: fetcher.SkipInputs."""
+def skip_hash_statement(inputs, min_segments: int = 32):
+    """Sha256Air statement for a skip's whole hash layer:
+    (air, trace, publics, nb, nb_trusted). Fed to the batch prover by
+    circuits/composite.py; prove_skip_hashes wraps it standalone."""
     nb = inputs.nb_target_validators
     nbt = inputs.nb_trusted_validators
     plan, h = build_skip_plan(nb, nbt)
@@ -434,18 +445,25 @@ def prove_skip_hashes(
             (h.tvh_leaf + 1, inputs.trusted_header_validators_hash_proof.aunts),
         ],
     )
-    proof = prove_plan(plan, data_map, aunt_map, config, transcript_seed=transcript_seed)
+    air, trace, publics = plan_statement(plan, data_map, aunt_map, min_segments)
+    return air, trace, publics, nb, nbt
+
+
+def prove_skip_hashes(
+    inputs, config: StarkConfig = DEFAULT_HASH_CONFIG,
+    transcript_seed: list[int] | None = None,
+) -> HashBundle:
+    """inputs: fetcher.SkipInputs."""
+    air, trace, publics, nb, nbt = skip_hash_statement(inputs)
+    proof = prove(air, trace, publics, config, transcript_seed=transcript_seed)
     total = len(proof.public_inputs) // PUB_PER_SEGMENT
     return HashBundle(
         kind="skip", proof=proof, n_segments=total, nb=nb, nb_trusted=nbt
     )
 
 
-def prove_step_hashes(
-    inputs, config: StarkConfig = DEFAULT_HASH_CONFIG,
-    transcript_seed: list[int] | None = None,
-) -> HashBundle:
-    """inputs: fetcher.StepInputs."""
+def step_hash_statement(inputs, min_segments: int = 32):
+    """(air, trace, publics, nb) for a step's hash layer."""
     nb = inputs.nb_validators
     plan, h = build_step_plan(nb)
     data_map: dict[int, bytes] = {}
@@ -469,7 +487,17 @@ def prove_step_hashes(
             ),
         ],
     )
-    proof = prove_plan(plan, data_map, aunt_map, config, transcript_seed=transcript_seed)
+    air, trace, publics = plan_statement(plan, data_map, aunt_map, min_segments)
+    return air, trace, publics, nb
+
+
+def prove_step_hashes(
+    inputs, config: StarkConfig = DEFAULT_HASH_CONFIG,
+    transcript_seed: list[int] | None = None,
+) -> HashBundle:
+    """inputs: fetcher.StepInputs."""
+    air, trace, publics, nb = step_hash_statement(inputs)
+    proof = prove(air, trace, publics, config, transcript_seed=transcript_seed)
     total = len(proof.public_inputs) // PUB_PER_SEGMENT
     return HashBundle(kind="step", proof=proof, n_segments=total, nb=nb, nb_trusted=0)
 
@@ -494,15 +522,36 @@ def verify_skip_hashes(
     config: StarkConfig = DEFAULT_HASH_CONFIG,
     transcript_seed: list[int] | None = None,
 ) -> SkipHashFacts | None:
-    if bundle.kind != "skip" or bundle.nb < 1 or bundle.nb_trusted < 1:
+    if bundle.kind != "skip":
         return None
     air = Sha256Air(bundle.n_segments)
     if bundle.n_segments * SEGMENT_ROWS != bundle.proof.n_rows:
         return None
     if not verify(air, bundle.proof, config, transcript_seed=transcript_seed):
         return None
-    plan, h = build_skip_plan(bundle.nb, bundle.nb_trusted)
-    res = check_plan(plan, bundle.proof.public_inputs, bundle.n_segments)
+    return check_skip_hash_publics(
+        bundle.proof.public_inputs, bundle.n_segments, bundle.nb,
+        bundle.nb_trusted, chain_id, trusted_header, target_header,
+        target_height,
+    )
+
+
+def check_skip_hash_publics(
+    publics: list[int],
+    n_segments: int,
+    nb: int,
+    nb_trusted: int,
+    chain_id: str,
+    trusted_header: bytes,
+    target_header: bytes,
+    target_height: int,
+) -> SkipHashFacts | None:
+    """Statement bindings over the (STARK-verified) hash publics — the
+    caller must have verified the Sha256Air proof covering `publics`."""
+    if nb < 1 or nb_trusted < 1:
+        return None
+    plan, h = build_skip_plan(nb, nb_trusted)
+    res = check_plan(plan, publics, n_segments)
     if res is None:
         return None
     # statement bindings (pure equality over proven publics)
@@ -557,15 +606,33 @@ def verify_step_hashes(
     config: StarkConfig = DEFAULT_HASH_CONFIG,
     transcript_seed: list[int] | None = None,
 ) -> StepHashFacts | None:
-    if bundle.kind != "step" or bundle.nb < 1:
+    if bundle.kind != "step":
         return None
     air = Sha256Air(bundle.n_segments)
     if bundle.n_segments * SEGMENT_ROWS != bundle.proof.n_rows:
         return None
     if not verify(air, bundle.proof, config, transcript_seed=transcript_seed):
         return None
-    plan, h = build_step_plan(bundle.nb)
-    res = check_plan(plan, bundle.proof.public_inputs, bundle.n_segments)
+    return check_step_hash_publics(
+        bundle.proof.public_inputs, bundle.n_segments, bundle.nb, chain_id,
+        prev_header, next_header, next_height,
+    )
+
+
+def check_step_hash_publics(
+    publics: list[int],
+    n_segments: int,
+    nb: int,
+    chain_id: str,
+    prev_header: bytes,
+    next_header: bytes,
+    next_height: int,
+) -> StepHashFacts | None:
+    """Statement bindings over the (STARK-verified) hash publics."""
+    if nb < 1:
+        return None
+    plan, h = build_step_plan(nb)
+    res = check_plan(plan, publics, n_segments)
     if res is None:
         return None
     if res.data[h.vh_leaf] != _hash_leaf(res.digests[h.root]):

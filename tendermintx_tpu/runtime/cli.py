@@ -118,7 +118,7 @@ def cmd_prove(args) -> int:
         result["composite_proof"] = cp.to_dict()
         print(
             f"proved composite {artifact.circuit} statement "
-            f"({cp.hash_bundle.n_segments} hash segments, "
+            f"({cp.n_hash_segments} hash segments, "
             f"{cp.n_ed_segments} signature segments)"
         )
     if not result["valid"]:

@@ -741,6 +741,33 @@ def ed25519_air_trace(pubkeys: list[bytes], msgs: list[bytes], sigs: list[bytes]
 # --------------------------------------------------------------------------
 
 
+def derive_lane_publics(pubkey: bytes, msg: bytes, sig: bytes) -> list[int] | None:
+    """The first 160 of a lane's 220 publics — s(20) k(20) slot2(60)
+    slot3(60) — are a deterministic function of (pubkey, msg, sig); only
+    the 60 final-state limbs (projective, free Z scale) are not. The
+    composite serializer therefore ships ONLY the final 60 per lane and
+    reconstructs the rest here (a 160/220 cut of the Ed25519 publics from
+    the proof bytes). None if the pubkey/signature don't decompress."""
+    A = decompress(pubkey)
+    R = decompress(sig[:32])
+    if A is None or R is None:
+        return None
+    s = int.from_bytes(sig[32:], "little")
+    if s >= L_ORDER:
+        return None
+    k = (
+        int.from_bytes(hashlib.sha512(sig[:32] + pubkey + msg).digest(), "little")
+        % L_ORDER
+    )
+    negA = pt_neg(A)
+    return (
+        _limbs_list(s)
+        + _limbs_list(k)
+        + [v for g in _form(negA) for v in _limbs_list(g)]
+        + [v for g in _form(pt_add(BASE_POINT, negA)) for v in _limbs_list(g)]
+    )
+
+
 def check_lane_publics(
     seg_publics: list[int], pubkey: bytes, msg: bytes, sig: bytes
 ) -> bool:

@@ -597,6 +597,46 @@ def sha512_batch_trace(blocks: list[bytes], chain: list[int] | None = None):
     return GF.from_ints(rows.T.astype(object)), publics
 
 
+def sha512_publics(blocks: list[bytes], chain: list[int] | None = None) -> list[int]:
+    """The publics sha512_batch_trace would emit, WITHOUT building the
+    trace: message words + per-block (chained) digest halves + chain flag.
+    All of it is a deterministic host computation over the blocks, so the
+    composite serializer drops the SHA-512 publics from the proof bytes
+    and rebuilds them here at verify time."""
+    B = len(blocks)
+    if chain is None:
+        chain = [0] * B
+    assert len(chain) == B and (B == 0 or chain[0] == 0)
+    msg_words = np.zeros((B, 16), dtype=np.uint64)
+    for s, block in enumerate(blocks):
+        assert len(block) == 128
+        msg_words[s] = np.frombuffer(block, dtype=">u8")
+    iv = np.zeros((B, 8), dtype=np.uint64)
+    H64 = np.array(H, dtype=np.uint64)
+    digests = [None] * B
+    for s in range(B):
+        if chain[s] == 0:
+            iv[s] = H64
+    todo = list(range(B))
+    while todo:
+        ready = [s for s in todo if chain[s] == 0 or digests[s - 1] is not None]
+        assert ready, "chain flags form no valid schedule"
+        batch = _compress_batch(msg_words[ready], iv[ready])
+        for bi, s in enumerate(ready):
+            digests[s] = batch[9][bi]
+            if s + 1 < B and chain[s + 1] == 1:
+                iv[s + 1] = batch[9][bi]
+        todo = [s for s in todo if digests[s] is None]
+    publics: list[int] = []
+    for s in range(B):
+        for v in msg_words[s]:
+            publics += [int(v) & _M32, int(v) >> 32]
+        for v in digests[s]:
+            publics += [int(v) & _M32, int(v) >> 32]
+        publics.append(int(chain[s]))
+    return publics
+
+
 def digest_halves_to_bytes(halves: list[int]) -> bytes:
     """16 (lo, hi) halves -> 64 digest bytes."""
     out = b""

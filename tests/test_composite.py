@@ -90,14 +90,24 @@ def test_skip_composite_end_to_end():
     bad.signers[0].message = bytes(m)
     assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX) is None
 
-    # tamper the Ed25519 proof publics -> STARK verify fails
+    # tamper the Ed25519 statement publics -> publics-reconstruction
+    # consistency (and the STARK transcript) fails
     bad = copy.deepcopy(proof2)
-    bad.ed_proof.public_inputs[0] ^= 1
+    bad.batch.statements[1].public_inputs[0] ^= 1
     assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX) is None
 
-    # tamper the hash proof publics -> hash STARK verify fails
+    # tamper a lane final state (both the object field and the statement
+    # publics, consistently) -> R binding / STARK verify fails
     bad = copy.deepcopy(proof2)
-    bad.hash_bundle.proof.public_inputs[0] ^= 1
+    bad.ed_finals[0][0] ^= 1
+    from tendermintx_tpu.stark.ed25519_air import PUB_PER_SIG
+
+    bad.batch.statements[1].public_inputs[160] ^= 1
+    assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX) is None
+
+    # tamper the hash statement publics -> hash STARK verify fails
+    bad = copy.deepcopy(proof2)
+    bad.batch.statements[0].public_inputs[0] ^= 1
     assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX) is None
 
     # swapping in a different trusted header breaks the transcript chain
@@ -109,21 +119,19 @@ def test_skip_composite_end_to_end():
     bad.abi_inputs = encode_skip_input(tb, bytes(th), tgt)
     assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX) is None
 
-    # challenge-hash proof is present and its digests are cross-checked:
+    # challenge-hash statement is mandatory in v2 and cross-checked:
     # tampering its publics fails, claiming a wrong block count fails
-    assert proof2.sha512_proof is not None
     bad = copy.deepcopy(proof2)
-    bad.sha512_proof.public_inputs[0] ^= 1
+    bad.batch.statements[2].public_inputs[0] ^= 1
     assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX) is None
     bad = copy.deepcopy(proof2)
     bad.n_sha512_blocks *= 2
     assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX) is None
-    # without the optional proof the composite still verifies (the lane
-    # checks recompute the hash natively)
-    bare = copy.deepcopy(proof2)
-    bare.sha512_proof = None
-    bare.n_sha512_blocks = 0
-    assert verify_skip_composite(bare, CHAIN_ID, SKIP_MAX) == (1, trusted, 5, target)
+    # dropping a statement from the batch must fail (one shared FRI binds
+    # all three)
+    bad = copy.deepcopy(proof2)
+    bad.batch.statements = bad.batch.statements[:2]
+    assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX) is None
 
     # field-mutation fuzz over the VALID serialized proof: every sampled
     # mutation must fail cleanly at deserialization or verify to None —
@@ -218,8 +226,8 @@ def test_skip_composite_on_real_mocha4_fixtures():
         10500,
         target.header.hash(),
     )
-    # the challenge table is present on real data too
-    assert proof.sha512_proof is not None
+    # the challenge table is part of the batch on real data too
+    assert proof.n_sha512_blocks > 0
 
 
 def test_step_composite_nonzero_round():

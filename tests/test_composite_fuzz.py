@@ -7,14 +7,17 @@ ValueError/KeyError/TypeError at the boundary, and
 structurally broken proof file is indistinguishable from a
 cryptographically invalid one all the way through cmd_verify and the
 service result path. These tests fabricate structurally plausible (but
-cryptographically meaningless) proof dicts and stress-mutate them; the
-slow-tier end-to-end tests additionally fuzz a VALID serialized proof
+cryptographically meaningless) v2 proof dicts — real hash-statement
+publics and real signer keys (so publics reconstruction succeeds) wrapped
+around fake STARK content — and stress-mutate them; the slow-tier
+end-to-end tests additionally fuzz a VALID serialized proof
 (tests/test_composite.py::test_skip_composite_end_to_end).
 """
 
 from __future__ import annotations
 
 import random
+import tempfile
 
 from tendermintx_tpu.circuits.composite import (
     CompositeProof,
@@ -22,72 +25,132 @@ from tendermintx_tpu.circuits.composite import (
     verify_step_composite,
 )
 from tendermintx_tpu.circuits.hashing import HashBundle
+from tendermintx_tpu.stark.serialize import _pack
 
 DESER_EXC = (ValueError, KeyError, TypeError, AttributeError, IndexError)
 
+CHAIN_ID = "fuzz-chain"
 
-def _fake_stark_dict(n_pub: int = 25, n_cols: int = 3) -> dict:
-    digest = ["1", "2", "3", "4"]
-    return {
-        "version": 2,
-        "n_rows": 64,
-        "public_inputs": [str(i + 1) for i in range(n_pub)],
+
+def _pack_exts_flat(vals):
+    return _pack([c for v in vals for c in v])
+
+
+def _fake_statement_dict(publics: list[int] | None, n_rows: int, n_cols: int) -> dict:
+    digest = _pack([1, 2, 3, 4])
+    d = {
+        "n_rows": n_rows,
         "trace_root": digest,
-        "aux_root": None,
         "quotient_root": digest,
-        "ood_trace": [[["5", "6"]] * n_cols, [["7", "8"]] * n_cols],
-        "ood_quotient": [["9", "10"]],
-        "fri": {
-            "pow_nonce": "0",
-            "layer_roots": [digest],
-            "final_poly": [["1", "0"]],
-            "query_rounds": [
-                [
-                    {
-                        "val_i": ["1", "2"],
-                        "val_j": ["3", "4"],
-                        "path_i": [digest],
-                        "path_j": [digest],
-                    }
-                ]
-            ],
-        },
-        "openings": {
-            "7": {
-                "trace_row": ["1"] * n_cols,
-                "trace_path": [digest],
-                "aux_row": [],
-                "aux_path": [],
-                "quot_row": ["1", "2"],
-                "quot_path": [digest],
-            }
-        },
+        "aux_root": None,
+        "ood_trace": [
+            _pack_exts_flat([(5, 6)] * n_cols),
+            _pack_exts_flat([(7, 8)] * n_cols),
+        ],
+        "ood_quotient": _pack_exts_flat([(9, 10)]),
+        "openings": [
+            [7, _pack([1] * n_cols), digest, _pack([]), _pack([]),
+             _pack([1, 2]), digest]
+        ],
     }
+    if publics is not None:
+        d["public_inputs"] = _pack(publics)
+    return d
+
+
+_CACHED = {}
+
+
+def _real_pieces(kind: str):
+    """Real hash-statement publics + signers for a tiny synthetic chain —
+    enough for from_dict's publics reconstruction to succeed while every
+    cryptographic claim stays fake."""
+    if kind in _CACHED:
+        return _CACHED[kind]
+    from tendermintx_tpu.circuits.hashing import (
+        skip_hash_statement,
+        step_hash_statement,
+    )
+    from tendermintx_tpu.inputs.fetcher import InputDataFetcher, InputDataMode
+    from tendermintx_tpu.inputs.testchain import TestChain
+
+    chain = TestChain(n_validators=2, chain_id=CHAIN_ID)
+    for _ in range(4):
+        chain.extend()
+    tmp = tempfile.mkdtemp(prefix="fuzz_fixtures_")
+    chain.write_fixtures(tmp)
+    f = InputDataFetcher(fixture_path=tmp, mode=InputDataMode.FIXTURE)
+    if kind == "skip":
+        inputs = f.get_skip_inputs(
+            1, chain.headers[1].hash(), 4, max_validators=2
+        )
+        air, _trace, publics, nb, nbt = skip_hash_statement(inputs)
+        lanes = inputs.target_block_validators
+        abi = (
+            (1).to_bytes(8, "big")
+            + chain.headers[1].hash()
+            + (4).to_bytes(8, "big")
+        )
+        out = inputs.target_header
+    else:
+        inputs = f.get_step_inputs(3, chain.headers[3].hash(), max_validators=2)
+        air, _trace, publics, nb = step_hash_statement(inputs)
+        nbt = 0
+        lanes = inputs.next_block_validators
+        abi = (3).to_bytes(8, "big") + chain.headers[3].hash()
+        out = inputs.next_header
+    signers = []
+    for i, l in enumerate(lanes[:nb]):
+        if l.signed:
+            signers.append(
+                {
+                    "index": i,
+                    "message": l.message[: l.message_byte_length].hex(),
+                    "signature": l.signature.hex(),
+                }
+            )
+    res = (publics, nb, nbt, signers, abi.hex(), out.hex(), air.n_blocks)
+    _CACHED[kind] = res
+    return res
 
 
 def _fake_composite_dict(kind: str = "skip") -> dict:
-    abi = "00" * (48 if kind == "skip" else 40)
+    publics, nb, nbt, signers, abi_hex, out_hex, n_segments = _real_pieces(kind)
+    B = 2
     return {
         "kind": f"{kind}-composite",
-        "version": 1,
-        "abi_inputs": abi,
-        "abi_output": "11" * 32,
+        "version": 2,
+        "abi_inputs": abi_hex,
+        "abi_output": out_hex,
         "round": 0,
-        "hash_bundle": {
-            "kind": f"{kind}-hashes",
-            "n_segments": 32,
-            "nb": 2,
-            "nb_trusted": 2,
-            "proof": _fake_stark_dict(),
-        },
-        "ed_proof": _fake_stark_dict(),
-        "n_ed_segments": 2,
-        "signers": [
-            {"index": 0, "message": "22" * 100, "signature": "33" * 64},
-            {"index": 1, "message": "22" * 100, "signature": "33" * 64},
-        ],
-        "sha512_proof": _fake_stark_dict(),
+        "nb": nb,
+        "nb_trusted": nbt,
+        "n_hash_segments": n_segments,
+        "n_ed_segments": B,
         "n_sha512_blocks": 4,
+        "signers": signers,
+        "ed_finals": _pack([1] * (60 * B)),
+        "batch": {
+            "statements": [
+                _fake_statement_dict(publics, n_segments * 64, 170),
+                _fake_statement_dict(None, B * 256, 8),
+                _fake_statement_dict(None, 4 * 128, 8),
+            ],
+            "fri": {
+                "pow_nonce": "0",
+                "layer_roots": [_pack([1, 2, 3, 4])],
+                "final_poly": _pack_exts_flat([(1, 0)]),
+                "query_rounds": [
+                    [
+                        [
+                            _pack_exts_flat([(1, 2), (3, 4)]),
+                            _pack([1, 2, 3, 4]),
+                            _pack([1, 2, 3, 4]),
+                        ]
+                    ]
+                ],
+            },
+        },
     }
 
 
@@ -116,7 +179,7 @@ def _del_path(obj, path):
     del obj[path[-1]]
 
 
-MUTANTS = [None, "zz", -1, str((1 << 64) - (1 << 32) + 1), 1 << 70, [], {}]
+MUTANTS = [None, "zz", -1, str((1 << 64) - (1 << 32) + 1), 1 << 70, [], {}, "QUJDRA=="]
 
 
 def fuzz_composite_dict(base: dict, verify_fn, rng: random.Random, n: int):
@@ -145,12 +208,13 @@ def fuzz_composite_dict(base: dict, verify_fn, rng: random.Random, n: int):
 
 def test_fabricated_skip_dict_never_raises():
     base = _fake_composite_dict("skip")
-    # the unmutated fake parses but must verify to None (fake crypto)
+    # the unmutated fake parses (reconstruction succeeds on the real
+    # pieces) but must verify to None (fake crypto)
     proof = CompositeProof.from_dict(base)
-    assert verify_skip_composite(proof, "test-chain", 100) is None
+    assert verify_skip_composite(proof, CHAIN_ID, 100) is None
     fuzz_composite_dict(
         base,
-        lambda p: verify_skip_composite(p, "test-chain", 100),
+        lambda p: verify_skip_composite(p, CHAIN_ID, 100),
         random.Random(7),
         n=120,
     )
@@ -159,16 +223,56 @@ def test_fabricated_skip_dict_never_raises():
 def test_fabricated_step_dict_never_raises():
     base = _fake_composite_dict("step")
     proof = CompositeProof.from_dict(base)
-    assert verify_step_composite(proof, "test-chain") is None
+    assert verify_step_composite(proof, CHAIN_ID) is None
     fuzz_composite_dict(
         base,
-        lambda p: verify_step_composite(p, "test-chain"),
+        lambda p: verify_step_composite(p, CHAIN_ID),
         random.Random(11),
         n=120,
     )
 
 
 def test_hash_bundle_from_dict_rejects_cleanly():
+    from tendermintx_tpu.stark.serialize import stark_proof_to_dict
+
+    def _fake_stark_dict():
+        digest = ["1", "2", "3", "4"]
+        return {
+            "version": 2,
+            "n_rows": 64,
+            "public_inputs": [str(i + 1) for i in range(25)],
+            "trace_root": digest,
+            "aux_root": None,
+            "quotient_root": digest,
+            "ood_trace": [[["5", "6"]] * 3, [["7", "8"]] * 3],
+            "ood_quotient": [["9", "10"]],
+            "fri": {
+                "pow_nonce": "0",
+                "layer_roots": [digest],
+                "final_poly": [["1", "0"]],
+                "query_rounds": [
+                    [
+                        {
+                            "val_i": ["1", "2"],
+                            "val_j": ["3", "4"],
+                            "path_i": [digest],
+                            "path_j": [digest],
+                        }
+                    ]
+                ],
+            },
+            "openings": {
+                "7": {
+                    "trace_row": ["1"] * 3,
+                    "trace_path": [digest],
+                    "aux_row": [],
+                    "aux_path": [],
+                    "quot_row": ["1", "2"],
+                    "quot_path": [digest],
+                }
+            },
+        }
+
     good = {
         "kind": "skip-hashes",
         "n_segments": 32,
@@ -201,11 +305,40 @@ def test_composite_from_dict_kind_validation():
         raise AssertionError("bad kind accepted")
 
 
+def test_composite_from_dict_rejects_v1():
+    d = _fake_composite_dict("skip")
+    d["version"] = 1
+    try:
+        CompositeProof.from_dict(d)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("v1 composite accepted")
+
+
 def test_wrong_kind_for_verifier_returns_none():
     skip = CompositeProof.from_dict(_fake_composite_dict("skip"))
     step = CompositeProof.from_dict(_fake_composite_dict("step"))
-    assert verify_step_composite(skip, "test-chain") is None
-    assert verify_skip_composite(step, "test-chain", 100) is None
+    assert verify_step_composite(skip, CHAIN_ID) is None
+    assert verify_skip_composite(step, CHAIN_ID, 100) is None
+
+
+def test_weak_config_rejected():
+    """A config below MIN_SECURITY_BITS (VERDICT r2 missing #5) is refused
+    before any proof content is examined."""
+    from tendermintx_tpu.stark.prover import StarkConfig
+
+    weak = StarkConfig(
+        rate_bits=2, n_queries=10, final_poly_len=64, proof_of_work_bits=16
+    )
+    assert weak.fri.security_bits < 100
+    proof = CompositeProof.from_dict(_fake_composite_dict("skip"))
+    assert verify_skip_composite(proof, CHAIN_ID, 100, config=weak) is None
+    assert verify_step_composite(
+        CompositeProof.from_dict(_fake_composite_dict("step")),
+        CHAIN_ID,
+        config=weak,
+    ) is None
 
 
 def test_plan_inner_rejects_two_free_sides():

@@ -107,3 +107,74 @@ def test_sharded_ntt_matches_single(mesh):
         got = sharded_ntt_fn(mesh, log_n)(coeffs)
         assert (np.asarray(want.lo) == np.asarray(got.lo)).all()
         assert (np.asarray(want.hi) == np.asarray(got.hi)).all()
+
+
+@pytest.mark.slow
+def test_sharded_prove_ed25519_air(mesh):
+    """The Ed25519 AIR — the widest table (2k+ columns, LogUp aux phase) —
+    proven over the mesh must be byte-identical to single-chip (VERDICT r2
+    next-step #3)."""
+    from tendermintx_tpu.inputs.conversion import (
+        DUMMY_MESSAGE,
+        DUMMY_PUBLIC_KEY,
+        DUMMY_SIGNATURE,
+    )
+    from tendermintx_tpu.stark.ed25519_air import Ed25519Air, ed25519_air_trace
+    from tendermintx_tpu.stark.prover import StarkConfig, prove
+    from tendermintx_tpu.stark.serialize import stark_proof_to_dict
+    from tendermintx_tpu.stark.verifier import verify
+
+    chain = TestChain(n_validators=2)
+    h = chain.extend()
+    lanes = get_validator_data_from_block(
+        chain.val_set, chain.commits[h], chain.chain_id, 2
+    )
+    real = next(l for l in lanes if l.signed)
+    pks = [real.pubkey, DUMMY_PUBLIC_KEY]
+    msgs = [real.message[: real.message_byte_length], DUMMY_MESSAGE]
+    sigs = [real.signature, DUMMY_SIGNATURE]
+    trace, publics = ed25519_air_trace(pks, msgs, sigs)
+    air = Ed25519Air(2)
+    cfg = StarkConfig(rate_bits=2, n_queries=4, final_poly_len=16)
+    single = prove(air, trace, publics, cfg)
+    sharded = prove(air, trace, publics, cfg, mesh=mesh)
+    assert stark_proof_to_dict(sharded) == stark_proof_to_dict(single)
+    assert verify(air, sharded, cfg)
+
+
+@pytest.mark.slow
+def test_sharded_composite_matches_single(mesh):
+    """prove_skip_composite(mesh=...) — all three statements AND the
+    shared batch FRI folds over the mesh — byte-identical serialized proof
+    (VERDICT r2 next-step #3: the mesh wired through the composite)."""
+    import tempfile
+
+    from tendermintx_tpu.circuits.composite import (
+        prove_skip_composite,
+        verify_skip_composite,
+    )
+    from tendermintx_tpu.inputs.fetcher import InputDataFetcher, InputDataMode
+    from tendermintx_tpu.stark.prover import StarkConfig
+
+    chain = TestChain(n_validators=2, chain_id="mesh-chain")
+    for _ in range(4):
+        chain.extend()
+    tmp = tempfile.mkdtemp(prefix="mesh_fixtures_")
+    chain.write_fixtures(tmp)
+    f = InputDataFetcher(fixture_path=tmp, mode=InputDataMode.FIXTURE)
+    trusted = chain.headers[1].hash()
+    inputs = f.get_skip_inputs(1, trusted, 4, max_validators=2)
+    # reduced config (72 "bits") so the CPU-mesh test stays tractable; the
+    # verifier floor is overridden explicitly
+    cfg = StarkConfig(rate_bits=2, n_queries=28, final_poly_len=64)
+    single = prove_skip_composite(1, trusted, 4, inputs, config=cfg)
+    sharded = prove_skip_composite(1, trusted, 4, inputs, config=cfg, mesh=mesh)
+    import json
+
+    assert json.dumps(sharded.to_dict(), sort_keys=True) == json.dumps(
+        single.to_dict(), sort_keys=True
+    )
+    out = verify_skip_composite(
+        sharded, "mesh-chain", 100, config=cfg, min_security_bits=0
+    )
+    assert out == (1, trusted, 4, chain.headers[4].hash())
