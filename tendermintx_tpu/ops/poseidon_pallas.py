@@ -130,18 +130,18 @@ def _kernel(rc_lo_ref, rc_hi_ref, mds_ref, lo_ref, hi_ref, out_lo_ref, out_hi_re
 
     def mds_apply(lo, hi):
         # eight exact bf16 limb-plane dots on the MXU; (12,12)@(12,B)
-        mds = mds_ref[...].astype(jnp.bfloat16)
+        mds = mds_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
         accs = []
         for w in (lo, hi):
             for k in range(4):
-                plane = ((w >> jnp.uint32(8 * k)) & M8).astype(jnp.bfloat16)
+                plane = ((w >> jnp.uint32(8 * k)) & M8).astype(jnp.int32).astype(jnp.bfloat16)
                 accs.append(
                     jax.lax.dot_general(
                         mds,
                         plane,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    ).astype(jnp.uint32)
+                    ).astype(jnp.int32).astype(jnp.uint32)
                 )
         t = accs[0]
         b = []

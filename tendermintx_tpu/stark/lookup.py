@@ -112,9 +112,15 @@ class RangeLookup:
         """Count table hits: checked_vals (K, n_rows) uint; returns
         (width, n_rows) multiplicities to place in the main trace. Raises
         if any value is out of range (an honest prover never does)."""
-        vals = np.asarray(checked_vals, dtype=np.int64).ravel()
-        if vals.size and (vals.min() < 0 or vals.max() >= self.table_size):
-            raise ValueError("range-check witness value out of table range")
+        # stay in the trace's uint32 dtype: the int64 upcast of the
+        # ~58M-element checked block was 5.3 s of the B=128 Ed25519 trace
+        # generation (a third of the whole host wiring budget)
+        vals = np.ascontiguousarray(checked_vals).ravel()
+        if vals.size:
+            if vals.dtype.kind != "u" and int(vals.min()) < 0:
+                raise ValueError("range-check witness value out of table range")
+            if int(vals.max()) >= self.table_size:
+                raise ValueError("range-check witness value out of table range")
         counts = np.bincount(vals, minlength=self.table_size)
         out = np.zeros((self.width, self.n_rows), dtype=np.uint32)
         # each value's total count goes at its FIRST table occurrence; the
