@@ -290,6 +290,16 @@ def main():
                 extras["pallas_poseidon_hashes_per_s"] = round(hps_p, 1)
         except Exception as e:  # noqa: BLE001
             extras["pallas_error"] = repr(e)
+        # Record availability + the probe's failure reason either way, so
+        # the bench record says whether the Pallas kernel actually ran on
+        # this backend or the product path fell back to XLA (VERDICT r3
+        # weak #1 — the silent-probe-swallow made the kernel look wired
+        # when it never fired on the recorded TPU).
+        from tendermintx_tpu.ops import poseidon_pallas as _pp
+
+        extras["pallas_available"] = bool(_pp.available())
+        if _pp.probe_error is not None:
+            extras["pallas_probe_error"] = _pp.probe_error
 
     if _left() > 60:
         try:
@@ -344,6 +354,23 @@ def main():
             }
         except Exception as e:  # noqa: BLE001
             extras["composite_error"] = repr(e)
+
+    # The north-star shape: N=128 (beyond the reference's N=100 production
+    # max, /root/reference/circuits/consts.rs:4). Its trace shapes differ
+    # from N=32 (128 Ed25519 lanes, 4x hash segments), so this phase pays
+    # its own compiles — run it only when the remaining budget clearly
+    # covers a cold+warm pair, and record the warm number as the
+    # BASELINE.md target metric (VERDICT r3 next-step #2).
+    if _left() > 1500 and int(os.environ.get("TMX_BENCH_N128", "1")):
+        try:
+            cold128, warm128, sizes128 = bench_composite_skip(128, warm=True)
+            extras["skip_composite_n128_cold_seconds"] = round(cold128, 1)
+            if sizes128.get("proof_bytes"):
+                extras["composite_n128_proof_bytes"] = sizes128["proof_bytes"]
+            if warm128 is not None:
+                extras["skip_composite_n128_seconds"] = round(warm128, 1)
+        except Exception as e:  # noqa: BLE001
+            extras["composite_n128_error"] = repr(e)
 
     if primary is None:
         primary = {"metric": "bench_failed", "value": 0, "unit": "", "vs_baseline": 0}

@@ -6,8 +6,23 @@ N3/N7 — the FRI commit step inside `circuit.prove()`). Leaves are rows of a
 with batched Poseidon calls, then copied to host once, where openings are
 cheap array inspections.
 
-Digests are 4 Goldilocks elements. Leaf hash = sponge(row); inner =
-two_to_one(left, right). n_leaves must be a power of two.
+Digests are 4 Goldilocks elements. Leaf hash = sponge(row zero-padded to a
+multiple of the sponge RATE); inner = two_to_one(left, right). n_leaves must
+be a power of two.
+
+Row padding: leaf rows are zero-padded to a RATE (8) multiple before
+hashing, so every sponge absorb is a full-chunk overwrite — the invariant
+the recursive wrapper AIR's one-permutation-per-row layout relies on
+(stark/recursion.py). For rows of width <= 8 the digest is unchanged
+(overwriting zero lanes of a zero state); wider non-multiple rows get new
+digests, which only re-keys commitments (no external format depends on
+them).
+
+Caps: a commitment can be a CAP — the 2^k digests at depth k from the root
+(plonky2's MerkleCap; the reference consumes it via its GenericConfig,
+SURVEY.md N2/N3). Openings then carry paths only up to the cap, saving
+(depth - k) * 32 bytes per query per tree, the dominant wire cost at 28
+queries (VERDICT r3 next-step #6).
 """
 
 from __future__ import annotations
@@ -66,6 +81,30 @@ def _inner_layers(leaves: GF) -> GF:
     return out
 
 
+def pad_row_width(rows: GF) -> GF:
+    """Zero-pad the last axis to a RATE multiple (see module docstring)."""
+    w = int(rows.shape[-1])
+    extra = (-w) % ps.RATE
+    if not extra:
+        return rows
+    z = jnp.zeros(tuple(rows.shape[:-1]) + (extra,), rows.lo.dtype)
+    return GF(
+        jnp.concatenate([rows.lo, z], axis=-1),
+        jnp.concatenate([rows.hi, z], axis=-1),
+    )
+
+
+def pad_row_ints(row: list[int]) -> list[int]:
+    """Host-side analog of pad_row_width for an opened leaf row."""
+    return list(row) + [0] * ((-len(row)) % ps.RATE)
+
+
+def cap_levels(n_leaves: int, cap_bits: int) -> int:
+    """Number of path levels below a 2^min(cap_bits, depth)-entry cap."""
+    depth = max(n_leaves.bit_length() - 1, 0)
+    return depth - min(cap_bits, depth)
+
+
 class MerkleTree:
     """Layers stay on DEVICE after the build; openings gather sibling paths
     with device indexing and fetch only the gathered digests (VERDICT r1:
@@ -93,6 +132,19 @@ class MerkleTree:
     def n_leaves(self) -> int:
         return int(self.dev_layers[0].shape[0])
 
+    def cap(self, cap_bits: int) -> list[list[int]]:
+        """The 2^min(cap_bits, depth) digests at cap depth (ONE host fetch)."""
+        depth = len(self.dev_layers) - 1
+        layer = self.dev_layers[depth - min(cap_bits, depth)]
+        k = int(layer.shape[0])
+        both = np.asarray(
+            jnp.concatenate([layer.lo.reshape(-1), layer.hi.reshape(-1)])
+        )
+        flat = [
+            int(both[i]) | (int(both[4 * k + i]) << 32) for i in range(4 * k)
+        ]
+        return [flat[4 * i : 4 * (i + 1)] for i in range(k)]
+
     @classmethod
     def build(cls, rows: GF, leaf_fn=None) -> "MerkleTree":
         """rows: (n_leaves, width) GF on device; n_leaves a power of two.
@@ -100,6 +152,7 @@ class MerkleTree:
         sponge from parallel/prover.py); it must equal hash_no_pad."""
         n = int(rows.shape[0])
         assert n & (n - 1) == 0, "n_leaves must be a power of two"
+        rows = pad_row_width(rows)
         leaves = (leaf_fn or _leaf_hashes)(rows)
         if n == 1:
             return cls([leaves])
@@ -118,8 +171,9 @@ class MerkleTree:
         """Sibling path from leaf `index` to the root (exclusive)."""
         return self.open_many([index])[index]
 
-    def sibling_gather(self, indices: list[int]):
-        """Device-side gather of all sibling digests for `indices`.
+    def sibling_gather(self, indices: list[int], cap_bits: int = 0):
+        """Device-side gather of all sibling digests for `indices`, up to
+        (exclusive) the cap level.
 
         Returns (dev GF (n_inner*k, 4), uniq, n_inner); decode the fetched
         ints with `decode_paths`. Separated from `open_many` so callers can
@@ -127,7 +181,7 @@ class MerkleTree:
         fetch_ints_many)."""
         uniq = sorted(set(int(i) for i in indices))
         k = len(uniq)
-        n_inner = len(self.dev_layers) - 1
+        n_inner = cap_levels(self.n_leaves, cap_bits)
         if n_inner == 0 or k == 0:
             return GF.zeros((0, 4)), uniq, n_inner
         gathers = []
@@ -156,21 +210,39 @@ class MerkleTree:
 
 
 def verify_opening(
-    root: list[int], index: int, leaf_row: list[int], path: list[list[int]]
+    cap: list[list[int]],
+    index: int,
+    leaf_row: list[int],
+    path: list[list[int]],
+    levels: int | None = None,
 ) -> bool:
-    """Host-side verification: leaf_row is the raw row (pre-hash).
-    Uses the native C++ core when available."""
+    """Host-side verification against a Merkle CAP: leaf_row is the raw row
+    (pre-hash, pre-padding); the path climbs len(path) levels and the
+    resulting digest must equal cap[index >> len(path)].
+
+    `levels`, when given, pins the expected path length (the verifier
+    derives it from the tree size + cap_bits; a malformed path length must
+    fail here, not alias into a wrong cap slot). A single full-depth root
+    is the cap special case [root]. Uses the native C++ core when
+    available."""
+    if levels is not None and len(path) != levels:
+        return False
+    slot = index >> len(path)
+    if not 0 <= slot < len(cap):
+        return False
+    expected = cap[slot]
+    row = pad_row_ints(leaf_row)
     import os
 
     if os.environ.get("TMX_NO_NATIVE") != "1":
         from ..utils import native
 
         out = native.merkle_verify_native(
-            list(root), index, list(leaf_row), path
+            list(expected), index, row, path
         )
         if out is not None:
             return out
-    digest = ps.hash_ints(list(leaf_row))
+    digest = ps.hash_ints(row)
     idx = index
     for sibling in path:
         if idx & 1:
@@ -178,4 +250,4 @@ def verify_opening(
         else:
             digest = ps.two_to_one_ints(digest, sibling)
         idx >>= 1
-    return digest == list(root)
+    return digest == list(expected)

@@ -44,12 +44,12 @@ class StatementProof:
 
     n_rows: int
     public_inputs: list[int]
-    trace_root: list[int]
-    quotient_root: list[int]
+    trace_cap: list[list[int]]
+    quotient_cap: list[list[int]]
     ood_trace: list
     ood_quotient: list
     openings: dict
-    aux_root: list[int] | None = None
+    aux_cap: list[list[int]] | None = None
 
 
 @dataclass
@@ -109,12 +109,12 @@ def prove_batch(
             StatementProof(
                 n_rows=ctx.n,
                 public_inputs=list(ctx.public_inputs),
-                trace_root=ctx.trace_tree.root,
-                quotient_root=ctx.quot_tree.root,
+                trace_cap=ctx.trace_cap,
+                quotient_cap=ctx.quot_cap,
                 ood_trace=ctx.ood_trace,
                 ood_quotient=ctx.ood_quotient,
                 openings=openings,
-                aux_root=ctx.aux_tree.root if ctx.air.n_aux_cols else None,
+                aux_cap=ctx.aux_cap,
             )
         )
     return BatchStarkProof(statements=statements, fri_proof=fri_proof)

@@ -41,6 +41,13 @@ class Challenger:
             raise ValueError("bad digest length")
         self.observe_elements(digest)
 
+    def observe_cap(self, cap):
+        """Absorb a Merkle cap (list of digests) in order."""
+        if not cap:
+            raise ValueError("empty cap")
+        for digest in cap:
+            self.observe_digest(digest)
+
     # -- sampling --
     def sample(self) -> int:
         if self._input or not self._output:

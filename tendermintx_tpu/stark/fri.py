@@ -28,7 +28,20 @@ from ..ops import ntt as nttmod
 from ..ops import poseidon as ps
 from ..ops.ext import GF2, ext_add, ext_inv, ext_mul, ext_sub
 from ..ops.goldilocks import GF, P, MULTIPLICATIVE_GENERATOR, from_int_array
-from ..ops.merkle import MerkleTree, verify_opening
+from ..ops.merkle import MerkleTree, cap_levels, verify_opening
+
+
+def _caps_well_formed(caps, n: int, cap_bits: int) -> bool:
+    """Every layer cap must have exactly 2^min(cap_bits, depth_l) digests
+    of 4 elements (layer l's tree has n >> l leaves)."""
+    for l, cap in enumerate(caps):
+        size = n >> l
+        depth = max(size.bit_length() - 1, 0)
+        if len(cap) != 1 << min(cap_bits, depth):
+            return False
+        if any(len(d) != 4 for d in cap):
+            return False
+    return True
 from .challenger import Challenger
 
 
@@ -38,6 +51,7 @@ class FriConfig:
     n_queries: int = 32
     final_poly_len: int = 32  # max number of coefficients in the final poly
     proof_of_work_bits: int = 16  # grinding factor
+    cap_bits: int = 4  # Merkle cap height (ops/merkle.py)
 
     @property
     def security_bits(self) -> int:
@@ -46,7 +60,7 @@ class FriConfig:
 
 @dataclass
 class FriProof:
-    layer_roots: list[list[int]]  # Merkle root per commit layer
+    layer_caps: list[list[list[int]]]  # Merkle cap (digest list) per layer
     final_poly: list[tuple[int, int]]  # ext coefficients
     # query_rounds[q][layer] = ((val_lo, val_hi), path_lo, path_hi) where
     # val_* are ext values at (i, i+N/2) and path_* their Merkle paths.
@@ -146,7 +160,7 @@ def fri_prove(
 
     layers: list[GF2] = [evals]
     trees: list[MerkleTree] = []
-    roots: list[list[int]] = []
+    caps: list[list[list[int]]] = []
     cur_shift = shift % P
     cur = evals
     cur_n = n
@@ -155,8 +169,9 @@ def fri_prove(
     while cur_n > config.final_poly_len << config.rate_bits:
         tree = _commit_layer(cur)
         trees.append(tree)
-        roots.append(tree.root)
-        challenger.observe_digest(tree.root)
+        cap = tree.cap(config.cap_bits)
+        caps.append(cap)
+        challenger.observe_cap(cap)
         beta = challenger.sample_ext()
         invx = _inv_x_table(cur_n.bit_length() - 1, cur_shift)
         invx_gf = GF(jnp.asarray(invx[0]), jnp.asarray(invx[1]))
@@ -193,10 +208,10 @@ def fri_prove(
     # open — only the queried values/paths are ever fetched to host
     # (full-layer to_ints made the TPU-relay prover latency-bound).
     query_indices = challenger.sample_indices(config.n_queries, n)
-    query_rounds = _query_phase(layers, trees, n, query_indices)
+    query_rounds = _query_phase(layers, trees, n, query_indices, config.cap_bits)
 
     return FriProof(
-        layer_roots=roots,
+        layer_caps=caps,
         final_poly=final_coeffs,
         query_rounds=query_rounds,
         query_indices=query_indices,
@@ -205,7 +220,8 @@ def fri_prove(
 
 
 def _query_phase(
-    layers: list[GF2], trees: list[MerkleTree], n: int, query_indices
+    layers: list[GF2], trees: list[MerkleTree], n: int, query_indices,
+    cap_bits: int,
 ) -> list[list[tuple]]:
     """Gather (value pair, sibling paths) per query per committed layer,
     with ONE host fetch for everything (a fetch per layer is
@@ -221,7 +237,7 @@ def _query_phase(
         both_list = i_list + j_list
         v = layers[l][jnp.asarray(both_list)]
         dev_vals.append(GF.stack([v.c0, v.c1], axis=-1))
-        sib_dev, uniq, n_inner = tree.sibling_gather(both_list)
+        sib_dev, uniq, n_inner = tree.sibling_gather(both_list, cap_bits)
         dev_sibs.append(sib_dev)
         metas.append((i_list, j_list, uniq, n_inner))
         idx_chain = i_list
@@ -340,7 +356,7 @@ def fri_prove_batch(
 
     layers: list[GF2] = []
     trees: list[MerkleTree] = []
-    roots: list[list[int]] = []
+    caps: list[list[list[int]]] = []
     cur = None
     cur_n = n
     cur_shift = shift % P
@@ -363,9 +379,10 @@ def fri_prove_batch(
         assert cur_n > 1, "codeword sizes inconsistent"
         tree = _commit_layer(cur)
         trees.append(tree)
-        roots.append(tree.root)
+        cap = tree.cap(config.cap_bits)
+        caps.append(cap)
         layers.append(cur)
-        challenger.observe_digest(tree.root)
+        challenger.observe_cap(cap)
         beta = challenger.sample_ext()
         invx = _inv_x_table(cur_n.bit_length() - 1, cur_shift)
         invx_gf = GF(jnp.asarray(invx[0]), jnp.asarray(invx[1]))
@@ -391,10 +408,10 @@ def fri_prove_batch(
     challenger.observe_element(pow_nonce)
 
     query_indices = challenger.sample_indices(config.n_queries, n)
-    query_rounds = _query_phase(layers, trees, n, query_indices)
+    query_rounds = _query_phase(layers, trees, n, query_indices, config.cap_bits)
 
     return FriProof(
-        layer_roots=roots,
+        layer_caps=caps,
         final_poly=final_coeffs,
         query_rounds=query_rounds,
         query_indices=query_indices,
@@ -421,7 +438,9 @@ def fri_verify_batch(
     order = batch_entry_order(sizes)
     n = sizes[order[0]]
     n_layers = _batch_layer_count(sizes, config)
-    if len(proof.layer_roots) != n_layers:
+    if len(proof.layer_caps) != n_layers:
+        return False
+    if not _caps_well_formed(proof.layer_caps, n, config.cap_bits):
         return False
     final_n = n >> n_layers
     if len(proof.final_poly) > max(final_n >> config.rate_bits, 1):
@@ -440,7 +459,7 @@ def fri_verify_batch(
             entry_layer.setdefault(l, []).append(si)
             oi += 1
         if l < n_layers:
-            challenger.observe_digest(proof.layer_roots[l])
+            challenger.observe_cap(proof.layer_caps[l])
             betas.append(challenger.sample_ext())
             cur_n //= 2
     if oi != len(order):
@@ -470,12 +489,13 @@ def fri_verify_batch(
             half = size // 2
             i = idx % half
             j = i + half
-            root = proof.layer_roots[l]
+            cap = proof.layer_caps[l]
+            lv = cap_levels(size, config.cap_bits)
             val_i = tuple(val_i)
             val_j = tuple(val_j)
-            if not verify_opening(root, i, [val_i[0], val_i[1]], path_i):
+            if not verify_opening(cap, i, [val_i[0], val_i[1]], path_i, lv):
                 return False
-            if not verify_opening(root, j, [val_j[0], val_j[1]], path_j):
+            if not verify_opening(cap, j, [val_j[0], val_j[1]], path_j, lv):
                 return False
             expected = prev_folded if prev_folded is not None else (0, 0)
             for si in entry_layer.get(l, ()):
@@ -637,7 +657,7 @@ def fri_verify(
     """
     if degree_bound << config.rate_bits != n:
         return False
-    n_layers = len(proof.layer_roots)
+    n_layers = len(proof.layer_caps)
     # Recompute the expected number of folds (mirrors the prover loop).
     cur_n = n
     expected_layers = 0
@@ -646,13 +666,15 @@ def fri_verify(
         cur_n //= 2
     if n_layers != expected_layers:
         return False
+    if not _caps_well_formed(proof.layer_caps, n, config.cap_bits):
+        return False
     if len(proof.final_poly) > (cur_n >> config.rate_bits):
         return False
 
     # Re-derive challenges.
     betas = []
-    for root in proof.layer_roots:
-        challenger.observe_digest(root)
+    for cap in proof.layer_caps:
+        challenger.observe_cap(cap)
         betas.append(challenger.sample_ext())
     for c in proof.final_poly:
         challenger.observe_ext(c)
@@ -697,12 +719,13 @@ def fri_verify(
             half = size // 2
             i = idx % half
             j = i + half
-            root = proof.layer_roots[l]
+            cap = proof.layer_caps[l]
+            lv = cap_levels(size, config.cap_bits)
             val_i = tuple(val_i)
             val_j = tuple(val_j)
-            if not verify_opening(root, i, [val_i[0], val_i[1]], path_i):
+            if not verify_opening(cap, i, [val_i[0], val_i[1]], path_i, lv):
                 return False
-            if not verify_opening(root, j, [val_j[0], val_j[1]], path_j):
+            if not verify_opening(cap, j, [val_j[0], val_j[1]], path_j, lv):
                 return False
             value_at_idx = val_i if idx < half else val_j
             if l == 0:

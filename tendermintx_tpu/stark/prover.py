@@ -44,6 +44,9 @@ class StarkConfig:
     final_poly_len: int = 32
     proof_of_work_bits: int = 16
     shift: int = MULTIPLICATIVE_GENERATOR
+    # Merkle cap height: commitments are the 2^min(cap_bits, depth) digests
+    # at that depth; openings stop there (VERDICT r3 next-step #6).
+    cap_bits: int = 4
 
     @property
     def fri(self) -> FriConfig:
@@ -52,6 +55,7 @@ class StarkConfig:
             n_queries=self.n_queries,
             final_poly_len=self.final_poly_len,
             proof_of_work_bits=self.proof_of_work_bits,
+            cap_bits=self.cap_bits,
         )
 
 
@@ -59,8 +63,8 @@ class StarkConfig:
 class StarkProof:
     n_rows: int
     public_inputs: list[int]
-    trace_root: list[int]
-    quotient_root: list[int]
+    trace_cap: list[list[int]]
+    quotient_cap: list[list[int]]
     # ood_trace[k][i]: column i evaluated at z * g^frame_offsets[k], over
     # [main ‖ aux] columns (n_cols + n_aux_cols entries per offset)
     ood_trace: list[list[tuple[int, int]]]
@@ -69,8 +73,8 @@ class StarkProof:
     # index -> (trace_row, trace_path, aux_row, aux_path, quot_row,
     # quot_path); aux_row/aux_path are [] when the AIR has no aux columns
     openings: dict
-    # phase-2 commitment root (None when the AIR has no aux columns)
-    aux_root: list[int] | None = None
+    # phase-2 commitment cap (None when the AIR has no aux columns)
+    aux_cap: list[list[int]] | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -131,6 +135,38 @@ def _batch_inverse(vals: list[int]) -> list[int]:
     for i in range(n - 1, -1, -1):
         out[i] = prefix[i] * inv_all % P
         inv_all = inv_all * vals[i] % P
+    return out
+
+
+def deep_power_layout(
+    n_cols: int, n_aux: int, n_chunks: int, n_offsets: int
+) -> tuple[list[int], int, list[int]]:
+    """Beta-power exponent layout for the DEEP combination.
+
+    Sections are padded so every Merkle leaf row (trace / aux / quotient,
+    zero-padded to the sponge RATE by ops/merkle.py) occupies a whole
+    number of 8-felt absorb chunks: trace columns sit at exponents
+    [0, pad8(n_cols)), aux at [pad8(n_cols), S), quotient chunks (ext
+    values = 2 base felts each, 4 per absorb chunk) at ext exponents
+    [S, S + pad4(n_chunks)), and offset group g multiplies the shared row
+    Horner by beta^{base_g}. Padding exponents multiply zeros (the padded
+    lanes), so the combination stays a per-power-distinct linear code.
+
+    Returns (group base exponents, chunk base exponent, combined-row
+    position map pos[i])."""
+    PT = -(-n_cols // 8) * 8
+    PA = -(-n_aux // 8) * 8
+    PQ = -(-max(n_chunks, 1) // 4) * 4
+    S = PT + PA
+    bases = [0] + [S + PQ + (g - 1) * S for g in range(1, n_offsets)]
+    pos = [i if i < n_cols else PT + (i - n_cols) for i in range(n_cols + n_aux)]
+    return bases, S, pos
+
+
+def _beta_powers(beta: tuple[int, int], count: int) -> list[tuple[int, int]]:
+    out = [(1, 0)]
+    for _ in range(count - 1):
+        out.append(ext_mul(out[-1], beta))
     return out
 
 
@@ -492,6 +528,10 @@ class _StmtCtx:
     trace_tree: MerkleTree
     aux_tree: MerkleTree | None
     quot_tree: MerkleTree
+    trace_cap: list
+    aux_cap: list | None
+    quot_cap: list
+    cap_bits: int
     trace_rows: GF
     aux_rows: GF | None
     quot_rows: GF
@@ -570,7 +610,8 @@ def _prove_statement(
         jnp.transpose(trace_lde.lo), jnp.transpose(trace_lde.hi)
     )  # (N, n_cols)
     trace_tree = MerkleTree.build(trace_rows, leaf_fn=leaf_fn)
-    challenger.observe_digest(trace_tree.root)
+    trace_cap = trace_tree.cap(config.cap_bits)
+    challenger.observe_cap(trace_cap)
     _mark("trace-lde+commit")
 
     # 1b. Phase-2 (auxiliary) commitment: sample challenges from the
@@ -600,12 +641,14 @@ def _prove_statement(
         aux_coeffs, aux_lde = lde_fn(aux_cols)
         aux_rows = GF(jnp.transpose(aux_lde.lo), jnp.transpose(aux_lde.hi))
         aux_tree = MerkleTree.build(aux_rows, leaf_fn=leaf_fn)
-        challenger.observe_digest(aux_tree.root)
+        aux_cap = aux_tree.cap(config.cap_bits)
+        challenger.observe_cap(aux_cap)
         _mark("aux-columns+commit")
         all_lde = GF.concatenate([trace_lde, aux_lde], axis=0)
         all_coeffs = GF.concatenate([trace_coeffs, aux_coeffs], axis=0)
     else:
         aux_tree = None
+        aux_cap = None
         aux_rows = None
         all_lde = trace_lde
         all_coeffs = trace_coeffs
@@ -672,7 +715,8 @@ def _prove_statement(
         [x for ch in chunk_ldes for x in (ch.c0, ch.c1)], axis=-1
     )  # (N, 2*n_chunks)
     quot_tree = MerkleTree.build(quot_rows, leaf_fn=leaf_fn)
-    challenger.observe_digest(quot_tree.root)
+    quot_cap = quot_tree.cap(config.cap_bits)
+    challenger.observe_cap(quot_cap)
     _mark("quotient+commit")
     z = challenger.sample_ext()
 
@@ -712,24 +756,33 @@ def _prove_statement(
     #    trace cols. F = sum_g (G(x) - G(z_g)) / (x - z_g). Single jitted
     #    program; beta powers, OOD sums and denominator inverses are small
     #    host-side inputs.
+    #
+    #    Beta powers follow the PADDED section layout of deep_power_layout:
+    #    group g's combination is beta^{base_g} * (one shared row Horner H)
+    #    plus beta^{chunk_base} * (one chunk Horner Q) for group 0 — the
+    #    algebraic shape the recursive wrapper AIR accumulates row by row
+    #    (stark/recursion.py). Skipped (padding) powers multiply nothing.
+    bases, chunk_base, pos = deep_power_layout(
+        n_cols, n_aux, len(chunk_ldes), len(offsets)
+    )
+    pows = _beta_powers(beta, max(bases) + chunk_base + len(chunk_ldes) + 1)
     betas_t = []  # per offset, per col
     betas_q = []
     g0_list = []
     zk_list = []
-    b_pow = (1, 0)
     for gi, k in enumerate(offsets):
         zk_list.append(ext_mul(z, (pow(g_trace, k, P), 0)))
         row_betas = []
         G0 = (0, 0)
         for i in range(n_total):
+            b_pow = pows[bases[gi] + pos[i]]
             row_betas.append(b_pow)
             G0 = ext_add(G0, ext_mul(b_pow, ood_trace[gi][i]))
-            b_pow = ext_mul(b_pow, beta)
         if gi == 0:
             for j in range(len(chunk_ldes)):
+                b_pow = pows[chunk_base + j]
                 betas_q.append(b_pow)
                 G0 = ext_add(G0, ext_mul(b_pow, ood_quot[j]))
-                b_pow = ext_mul(b_pow, beta)
         betas_t.append(row_betas)
         g0_list.append(G0)
 
@@ -755,6 +808,10 @@ def _prove_statement(
         trace_tree=trace_tree,
         aux_tree=aux_tree,
         quot_tree=quot_tree,
+        trace_cap=trace_cap,
+        aux_cap=aux_cap,
+        quot_cap=quot_cap,
+        cap_bits=config.cap_bits,
         trace_rows=trace_rows,
         aux_rows=aux_rows if n_aux else None,
         quot_rows=quot_rows,
@@ -777,11 +834,11 @@ def _statement_openings(ctx: _StmtCtx, indices) -> dict:
     from ..ops.goldilocks import fetch_ints_many
 
     dev_arrs = [ctx.trace_rows[qarr], ctx.quot_rows[qarr]]
-    tg = ctx.trace_tree.sibling_gather(qs)
-    qg = ctx.quot_tree.sibling_gather(qs)
+    tg = ctx.trace_tree.sibling_gather(qs, ctx.cap_bits)
+    qg = ctx.quot_tree.sibling_gather(qs, ctx.cap_bits)
     dev_arrs += [tg[0], qg[0]]
     if n_aux:
-        ag = ctx.aux_tree.sibling_gather(qs)
+        ag = ctx.aux_tree.sibling_gather(qs, ctx.cap_bits)
         dev_arrs += [ctx.aux_rows[qarr], ag[0]]
     fetched = fetch_ints_many(dev_arrs)  # ONE host fetch for all openings
     trace_sel, quot_sel = fetched[0], fetched[1]
@@ -847,13 +904,13 @@ def prove(
     return StarkProof(
         n_rows=ctx.n,
         public_inputs=list(public_inputs),
-        trace_root=ctx.trace_tree.root,
-        quotient_root=ctx.quot_tree.root,
+        trace_cap=ctx.trace_cap,
+        quotient_cap=ctx.quot_cap,
         ood_trace=ctx.ood_trace,
         ood_quotient=ctx.ood_quotient,
         fri_proof=fri_proof,
         openings=openings,
-        aux_root=ctx.aux_tree.root if air.n_aux_cols else None,
+        aux_cap=ctx.aux_cap,
     )
 
 

@@ -41,10 +41,22 @@ def _unext(v):
     return (_felt(v[0]), _felt(v[1]))
 
 
+def _cap(cap):
+    return [_ints(d) for d in cap]
+
+
+def _uncap(cap):
+    out = [_unints(d) for d in cap]
+    for d in out:
+        if len(d) != 4:
+            raise ValueError("bad digest length in cap")
+    return out
+
+
 def fri_proof_to_dict(p: FriProof) -> dict:
     return {
         "pow_nonce": str(int(p.pow_nonce)),
-        "layer_roots": [_ints(r) for r in p.layer_roots],
+        "layer_caps": [_cap(c) for c in p.layer_caps],
         "final_poly": [_ext(c) for c in p.final_poly],
         "query_rounds": [
             [
@@ -64,7 +76,7 @@ def fri_proof_to_dict(p: FriProof) -> dict:
 def fri_proof_from_dict(d: dict) -> FriProof:
     return FriProof(
         pow_nonce=_felt(d.get("pow_nonce", 0)),
-        layer_roots=[_unints(r) for r in d["layer_roots"]],
+        layer_caps=[_uncap(c) for c in d["layer_caps"]],
         final_poly=[_unext(c) for c in d["final_poly"]],
         query_rounds=[
             [
@@ -83,12 +95,12 @@ def fri_proof_from_dict(d: dict) -> FriProof:
 
 def stark_proof_to_dict(p: StarkProof) -> dict:
     return {
-        "version": 2,
+        "version": 3,
         "n_rows": p.n_rows,
         "public_inputs": _ints(p.public_inputs),
-        "trace_root": _ints(p.trace_root),
-        "aux_root": _ints(p.aux_root) if p.aux_root is not None else None,
-        "quotient_root": _ints(p.quotient_root),
+        "trace_cap": _cap(p.trace_cap),
+        "aux_cap": _cap(p.aux_cap) if p.aux_cap is not None else None,
+        "quotient_cap": _cap(p.quotient_cap),
         "ood_trace": [[_ext(v) for v in per] for per in p.ood_trace],
         "ood_quotient": [_ext(v) for v in p.ood_quotient],
         "fri": fri_proof_to_dict(p.fri_proof),
@@ -107,12 +119,12 @@ def stark_proof_to_dict(p: StarkProof) -> dict:
 
 
 def stark_proof_from_dict(d: dict) -> StarkProof:
-    aux_root = d.get("aux_root")
+    aux_cap = d.get("aux_cap")
     return StarkProof(
         n_rows=int(d["n_rows"]),
         public_inputs=_unints(d["public_inputs"]),
-        trace_root=_unints(d["trace_root"]),
-        quotient_root=_unints(d["quotient_root"]),
+        trace_cap=_uncap(d["trace_cap"]),
+        quotient_cap=_uncap(d["quotient_cap"]),
         ood_trace=[[_unext(v) for v in per] for per in d["ood_trace"]],
         ood_quotient=[_unext(v) for v in d["ood_quotient"]],
         fri_proof=fri_proof_from_dict(d["fri"]),
@@ -127,7 +139,7 @@ def stark_proof_from_dict(d: dict) -> StarkProof:
             )
             for k, v in d["openings"].items()
         },
-        aux_root=_unints(aux_root) if aux_root is not None else None,
+        aux_cap=_uncap(aux_cap) if aux_cap is not None else None,
     )
 
 
@@ -192,10 +204,21 @@ def _unpack_exts(s: str) -> list[tuple[int, int]]:
     return [(flat[i], flat[i + 1]) for i in range(0, len(flat), 2)]
 
 
+def _pack_cap(cap) -> str:
+    return _pack([v for digest in cap for v in digest])
+
+
+def _unpack_cap(s: str) -> list[list[int]]:
+    flat = _unpack(s)
+    if not flat or len(flat) % 4:
+        raise ValueError("packed cap not a multiple of 4 felts")
+    return [flat[i : i + 4] for i in range(0, len(flat), 4)]
+
+
 def fri_proof_to_dict_packed(p: FriProof) -> dict:
     return {
         "pow_nonce": str(int(p.pow_nonce)),
-        "layer_roots": [_pack(r) for r in p.layer_roots],
+        "layer_caps": [_pack_cap(c) for c in p.layer_caps],
         "final_poly": _pack_exts(p.final_poly),
         # per query: [val_i ‖ val_j packed, path_i, path_j] per layer
         "query_rounds": [
@@ -220,7 +243,7 @@ def fri_proof_from_dict_packed(d: dict) -> FriProof:
         query_rounds.append(out)
     return FriProof(
         pow_nonce=_felt(d.get("pow_nonce", 0)),
-        layer_roots=[_unpack(r, 4) for r in d["layer_roots"]],
+        layer_caps=[_unpack_cap(c) for c in d["layer_caps"]],
         final_poly=_unpack_exts(d["final_poly"]),
         query_rounds=query_rounds,
     )
@@ -232,9 +255,9 @@ def statement_to_dict(p, include_publics: bool = True) -> dict:
     from the signers it already carries — see circuits/composite.py)."""
     d = {
         "n_rows": p.n_rows,
-        "trace_root": _pack(p.trace_root),
-        "quotient_root": _pack(p.quotient_root),
-        "aux_root": _pack(p.aux_root) if p.aux_root is not None else None,
+        "trace_cap": _pack_cap(p.trace_cap),
+        "quotient_cap": _pack_cap(p.quotient_cap),
+        "aux_cap": _pack_cap(p.aux_cap) if p.aux_cap is not None else None,
         "ood_trace": [_pack_exts(per) for per in p.ood_trace],
         "ood_quotient": _pack_exts(p.ood_quotient),
         "openings": [
@@ -257,7 +280,7 @@ def statement_from_dict(d: dict, publics: list[int] | None = None):
 
     if publics is None:
         publics = _unpack(d["public_inputs"])
-    aux_root = d.get("aux_root")
+    aux_cap = d.get("aux_cap")
     openings = {}
     for entry in d["openings"]:
         if len(entry) != 7:
@@ -274,9 +297,9 @@ def statement_from_dict(d: dict, publics: list[int] | None = None):
     return StatementProof(
         n_rows=int(d["n_rows"]),
         public_inputs=[_felt(v) for v in publics],
-        trace_root=_unpack(d["trace_root"], 4),
-        quotient_root=_unpack(d["quotient_root"], 4),
-        aux_root=_unpack(aux_root, 4) if aux_root is not None else None,
+        trace_cap=_unpack_cap(d["trace_cap"]),
+        quotient_cap=_unpack_cap(d["quotient_cap"]),
+        aux_cap=_unpack_cap(aux_cap) if aux_cap is not None else None,
         ood_trace=[_unpack_exts(per) for per in d["ood_trace"]],
         ood_quotient=_unpack_exts(d["ood_quotient"]),
         openings=openings,

@@ -10,7 +10,7 @@ from __future__ import annotations
 from ..ops import ntt as nttmod
 from ..ops.ext import ext_add, ext_inv, ext_mul, ext_pow, ext_sub
 from ..ops.goldilocks import P
-from ..ops.merkle import verify_opening
+from ..ops.merkle import cap_levels, verify_opening
 from .air import Air, Frame, HostAlgebra, HostFelt, flatten_host_constraints
 from .challenger import Challenger
 from .fri import fri_verify
@@ -97,17 +97,25 @@ def check_statement(
         return None
     if not air.validate_publics(list(proof.public_inputs)):
         return None
-    if (proof.aux_root is None) != (n_aux == 0):
+    if (proof.aux_cap is None) != (n_aux == 0):
         return None
+    # statement commitments are caps over N-leaf trees
+    cap_len = 1 << min(config.cap_bits, max(N.bit_length() - 1, 0))
+    opening_levels = cap_levels(N, config.cap_bits)
+    for cap in (proof.trace_cap, proof.quotient_cap) + (
+        (proof.aux_cap,) if n_aux else ()
+    ):
+        if len(cap) != cap_len or any(len(d) != 4 for d in cap):
+            return None
 
     # --- transcript replay ---
     challenger.observe_elements(proof.public_inputs)
-    challenger.observe_digest(proof.trace_root)
+    challenger.observe_cap(proof.trace_cap)
     challenges = [challenger.sample_ext() for _ in range(air.n_challenges)]
     if n_aux:
-        challenger.observe_digest(proof.aux_root)
+        challenger.observe_cap(proof.aux_cap)
     alpha = challenger.sample_ext()
-    challenger.observe_digest(proof.quotient_root)
+    challenger.observe_cap(proof.quotient_cap)
     z = challenger.sample_ext()
     for per_offset in proof.ood_trace:
         for v in per_offset:
@@ -182,23 +190,28 @@ def check_statement(
         return None
 
     # --- DEEP layer-0 recomputation hook for FRI ---
-    # beta powers in prover order: per offset group (trace cols; plus
-    # quotient chunks inside group 0).
+    # beta powers in prover order: padded-section layout (see
+    # prover.deep_power_layout).
+    from .prover import _beta_powers, deep_power_layout
+
+    bases, chunk_base, pos = deep_power_layout(
+        n_cols, n_aux, n_chunks, len(offsets)
+    )
+    pows = _beta_powers(beta, max(bases) + chunk_base + n_chunks + 1)
     group_info = []  # (z_k, [(beta_pow, kind, index)])
-    b_pow = (1, 0)
     for gi, k in enumerate(offsets):
         zk = ext_mul(z, (pow(g_trace, k, P), 0))
         terms = []
         G0 = (0, 0)
         for i in range(n_total):
+            b_pow = pows[bases[gi] + pos[i]]
             terms.append((b_pow, "trace", i))
             G0 = ext_add(G0, ext_mul(b_pow, tuple(proof.ood_trace[gi][i])))
-            b_pow = ext_mul(b_pow, beta)
         if gi == 0:
             for j in range(n_chunks):
+                b_pow = pows[chunk_base + j]
                 terms.append((b_pow, "quot", j))
                 G0 = ext_add(G0, ext_mul(b_pow, tuple(proof.ood_quotient[j])))
-                b_pow = ext_mul(b_pow, beta)
         group_info.append((zk, terms, G0))
 
     w_N = nttmod.primitive_root_of_unity(log_n + rate_bits)
@@ -212,13 +225,17 @@ def check_statement(
             return None
         if len(aux_row) != n_aux:
             return None
-        if not verify_opening(proof.trace_root, idx, list(trace_row), trace_path):
-            return None
-        if n_aux and not verify_opening(
-            proof.aux_root, idx, list(aux_row), aux_path
+        if not verify_opening(
+            proof.trace_cap, idx, list(trace_row), trace_path, opening_levels
         ):
             return None
-        if not verify_opening(proof.quotient_root, idx, list(quot_row), quot_path):
+        if n_aux and not verify_opening(
+            proof.aux_cap, idx, list(aux_row), aux_path, opening_levels
+        ):
+            return None
+        if not verify_opening(
+            proof.quotient_cap, idx, list(quot_row), quot_path, opening_levels
+        ):
             return None
         combined_row = list(trace_row) + list(aux_row)
         x = shift * pow(w_N, idx, P) % P

@@ -5,8 +5,6 @@ import copy
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
-
 from tendermintx_tpu.ops.goldilocks import GF, P
 from tendermintx_tpu.stark.air import Air
 from tendermintx_tpu.stark.batch import prove_batch, verify_batch
@@ -56,12 +54,25 @@ def _make_batch():
     return airs, traces, publics
 
 
+@pytest.fixture(scope="module")
+def batch_airs():
+    return _make_batch()[0]
+
+
+@pytest.fixture(scope="module")
+def batch_proof(batch_airs):
+    """ONE proved batch shared by the whole tamper suite (proving per test
+    kept this file out of the fast tier, VERDICT r3 next-step #9)."""
+    airs, traces, publics = _make_batch()
+    return prove_batch(airs, traces, publics, CFG)
+
+
 def test_batch_roundtrip_mixed_sizes():
     airs, traces, publics = _make_batch()
     proof = prove_batch(airs, traces, publics, CFG, transcript_seed=[7, 9])
     assert verify_batch(airs, proof, CFG, transcript_seed=[7, 9])
     # one shared FRI: a single layer family sized by the LARGER statement
-    assert len(proof.fri_proof.layer_roots) > 0
+    assert len(proof.fri_proof.layer_caps) > 0
     # smaller statement's openings live on its own (smaller) domain
     n_small = 64 << CFG.rate_bits
     assert all(q < n_small for q in proof.statements[0].openings)
@@ -77,33 +88,27 @@ def test_batch_same_sizes():
     assert verify_batch(airs, proof, CFG)
 
 
-def test_batch_wrong_seed_rejected():
-    airs, traces, publics = _make_batch()
-    proof = prove_batch(airs, traces, publics, CFG, transcript_seed=[7, 9])
-    assert not verify_batch(airs, proof, CFG, transcript_seed=[7, 8])
-    assert not verify_batch(airs, proof, CFG)
+def test_batch_wrong_seed_rejected(batch_airs, batch_proof):
+    assert not verify_batch(batch_airs, batch_proof, CFG, transcript_seed=[7, 8])
 
 
-def test_batch_tampered_public_rejected():
-    airs, traces, publics = _make_batch()
-    proof = prove_batch(airs, traces, publics, CFG)
+def test_batch_tampered_public_rejected(batch_airs, batch_proof):
+    airs, proof = batch_airs, batch_proof
     bad = copy.deepcopy(proof)
     bad.statements[1].public_inputs[0] ^= 1
     assert not verify_batch(airs, bad, CFG)
 
 
-def test_batch_tampered_ood_rejected():
-    airs, traces, publics = _make_batch()
-    proof = prove_batch(airs, traces, publics, CFG)
+def test_batch_tampered_ood_rejected(batch_airs, batch_proof):
+    airs, proof = batch_airs, batch_proof
     bad = copy.deepcopy(proof)
     v0 = bad.statements[0].ood_trace[0][0]
     bad.statements[0].ood_trace[0][0] = ((v0[0] + 1) % P, v0[1])
     assert not verify_batch(airs, bad, CFG)
 
 
-def test_batch_tampered_opening_rejected():
-    airs, traces, publics = _make_batch()
-    proof = prove_batch(airs, traces, publics, CFG)
+def test_batch_tampered_opening_rejected(batch_airs, batch_proof):
+    airs, proof = batch_airs, batch_proof
     bad = copy.deepcopy(proof)
     idx = next(iter(bad.statements[1].openings))
     row = list(bad.statements[1].openings[idx][0])
@@ -114,19 +119,18 @@ def test_batch_tampered_opening_rejected():
     assert not verify_batch(airs, bad, CFG)
 
 
-def test_batch_swapped_statements_rejected():
-    airs, traces, publics = _make_batch()
-    proof = prove_batch(airs, traces, publics, CFG)
+def test_batch_swapped_statements_rejected(batch_airs, batch_proof):
+    airs, proof = batch_airs, batch_proof
     bad = copy.deepcopy(proof)
     bad.statements = bad.statements[::-1]
     assert not verify_batch(airs, bad, CFG)
 
 
-def test_batch_cross_statement_fri_binding():
+def test_batch_cross_statement_fri_binding(batch_proof):
     """A valid proof for statements (A, B) must not verify as a batch
     containing only A (the shared FRI binds every codeword)."""
-    airs, traces, publics = _make_batch()
-    proof = prove_batch(airs, traces, publics, CFG)
+    airs, proof = _make_batch()[0], None
+    proof = batch_proof
     solo = copy.deepcopy(proof)
     solo.statements = [solo.statements[1]]
     assert not verify_batch([airs[1]], solo, CFG)

@@ -40,9 +40,9 @@ def _fake_statement_dict(publics: list[int] | None, n_rows: int, n_cols: int) ->
     digest = _pack([1, 2, 3, 4])
     d = {
         "n_rows": n_rows,
-        "trace_root": digest,
-        "quotient_root": digest,
-        "aux_root": None,
+        "trace_cap": digest,
+        "quotient_cap": digest,
+        "aux_cap": None,
         "ood_trace": [
             _pack_exts_flat([(5, 6)] * n_cols),
             _pack_exts_flat([(7, 8)] * n_cols),
@@ -119,7 +119,7 @@ def _fake_composite_dict(kind: str = "skip") -> dict:
     B = 2
     return {
         "kind": f"{kind}-composite",
-        "version": 2,
+        "version": 3,
         "abi_inputs": abi_hex,
         "abi_output": out_hex,
         "round": 0,
@@ -138,7 +138,7 @@ def _fake_composite_dict(kind: str = "skip") -> dict:
             ],
             "fri": {
                 "pow_nonce": "0",
-                "layer_roots": [_pack([1, 2, 3, 4])],
+                "layer_caps": [_pack([1, 2, 3, 4])],
                 "final_poly": _pack_exts_flat([(1, 0)]),
                 "query_rounds": [
                     [
@@ -238,17 +238,17 @@ def test_hash_bundle_from_dict_rejects_cleanly():
     def _fake_stark_dict():
         digest = ["1", "2", "3", "4"]
         return {
-            "version": 2,
+            "version": 3,
             "n_rows": 64,
             "public_inputs": [str(i + 1) for i in range(25)],
-            "trace_root": digest,
-            "aux_root": None,
-            "quotient_root": digest,
+            "trace_cap": [digest],
+            "aux_cap": None,
+            "quotient_cap": [digest],
             "ood_trace": [[["5", "6"]] * 3, [["7", "8"]] * 3],
             "ood_quotient": [["9", "10"]],
             "fri": {
                 "pow_nonce": "0",
-                "layer_roots": [digest],
+                "layer_caps": [[digest]],
                 "final_poly": [["1", "0"]],
                 "query_rounds": [
                     [

@@ -84,7 +84,7 @@ def _mk(n_rows=64, table_bits=6, seed=0, n_value_cols=3):
 def test_lookup_roundtrip():
     air, values = _mk()
     proof = prove(air, _build_trace(air, values), [], CFG)
-    assert proof.aux_root is not None
+    assert proof.aux_cap is not None
     assert verify(air, proof, CFG)
 
 
@@ -119,7 +119,7 @@ def test_lookup_rejects_tampered_aux_root():
     air, values = _mk(seed=4)
     proof = prove(air, _build_trace(air, values), [], CFG)
     bad = copy.deepcopy(proof)
-    bad.aux_root[0] = (bad.aux_root[0] + 1) % P
+    bad.aux_cap[0][0] = (bad.aux_cap[0][0] + 1) % P
     assert not verify(air, bad, CFG)
 
 

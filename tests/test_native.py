@@ -66,4 +66,5 @@ def test_native_merkle_verify():
         bad[0] = (bad[0] + 1) % P
         assert native.merkle_verify_native(tree.root, idx, bad, path) is False
         # the dispatching wrapper agrees with the pure-python path
-        assert verify_opening(tree.root, idx, rows[idx], path)
+        # (a single full-depth root is the cap special case [root])
+        assert verify_opening([tree.root], idx, rows[idx], path)

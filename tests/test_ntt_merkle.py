@@ -55,10 +55,10 @@ def test_merkle_build_open_verify():
     root = tree.root
     for idx in (0, 1, 17, 31):
         path = tree.open(idx)
-        assert merkle.verify_opening(root, idx, rows[idx], path)
+        assert merkle.verify_opening([root], idx, rows[idx], path)
         # tampered leaf fails
         bad = list(rows[idx])
         bad[0] = (bad[0] + 1) % P
-        assert not merkle.verify_opening(root, idx, bad, path)
+        assert not merkle.verify_opening([root], idx, bad, path)
         # wrong index fails
-        assert not merkle.verify_opening(root, idx ^ 1, rows[idx], path)
+        assert not merkle.verify_opening([root], idx ^ 1, rows[idx], path)

@@ -61,7 +61,7 @@ def test_tampered_trace_root_rejected():
     air = Sha256Air(1)
     proof = prove(air, trace, publics, CFG)
     bad = copy.deepcopy(proof)
-    bad.trace_root[0] = (bad.trace_root[0] + 1) % P
+    bad.trace_cap[0][0] = (bad.trace_cap[0][0] + 1) % P
     assert not verify(air, bad, CFG)
 
 
