@@ -72,11 +72,18 @@ from ..stark.sha512_air import (
     sha512_publics,
 )
 from ..stark.prover import StarkConfig
+from ..stark.recursion import (
+    WrappedBatchProof,
+    verify_wrapped_batch,
+    wrap_batch,
+)
 from ..stark.serialize import (
     _pack,
     _unpack,
     batch_proof_from_dict,
     batch_proof_to_dict,
+    wrapped_batch_from_dict,
+    wrapped_batch_to_dict,
 )
 from ..stark.sha256_air import PUB_PER_SEGMENT as PUB_PER_HASH_SEGMENT, Sha256Air
 from .hashing import (
@@ -225,10 +232,22 @@ class CompositeProof:
             "ed_finals": _pack([v for fin in self.ed_finals for v in fin]),
             # hash-statement publics ship; Ed25519/SHA-512 publics are
             # reconstructed at from_dict
-            "batch": batch_proof_to_dict(
-                self.batch, publics_flags=[True, False, False]
+            "batch": (
+                wrapped_batch_to_dict(
+                    self.batch, publics_flags=[True, False, False]
+                )
+                if isinstance(self.batch, WrappedBatchProof)
+                else batch_proof_to_dict(
+                    self.batch, publics_flags=[True, False, False]
+                )
             ),
         }
+
+    @property
+    def is_wrapped(self) -> bool:
+        """True when the batch is recursion-wrapped: openings and FRI query
+        rounds replaced by one wrapper STARK (stark/recursion.py)."""
+        return isinstance(self.batch, WrappedBatchProof)
 
     @classmethod
     def from_dict(cls, d: dict) -> "CompositeProof":
@@ -289,9 +308,11 @@ class CompositeProof:
             kind, nb, nb_trusted, n_hash_segments, hash_publics, signers,
             ed_finals, B,
         )
-        batch = batch_proof_from_dict(
-            batch_d, publics_list=[None, ed_publics, sha_publics]
-        )
+        publics_list = [None, ed_publics, sha_publics]
+        if batch_d.get("wrapped"):
+            batch = wrapped_batch_from_dict(batch_d, publics_list=publics_list)
+        else:
+            batch = batch_proof_from_dict(batch_d, publics_list=publics_list)
         return cls(
             kind=kind,
             abi_inputs=bytes.fromhex(d["abi_inputs"]),
@@ -563,13 +584,55 @@ def prove_step_composite(
     )
 
 
+def wrap_composite(
+    proof: CompositeProof,
+    config: StarkConfig = DEFAULT_COMPOSITE_CONFIG,
+    wrap_config: StarkConfig | None = None,
+) -> CompositeProof:
+    """Recursion-wrap a composite: replace the batch's openings and FRI
+    query rounds with ONE wrapper STARK (stark/recursion.py), making the
+    serialized proof's size independent of the validator count. The
+    returned object verifies through the same verify_skip/step_composite
+    entry points (the wrapped branch) and serializes ~10x smaller.
+
+    Raises ValueError when `proof` does not verify — wrapping re-checks
+    every opening against the caps while building the wrapper witness."""
+    if isinstance(proof.batch, WrappedBatchProof):
+        raise ValueError("composite is already wrapped")
+    airs = [
+        Sha256Air(proof.n_hash_segments),
+        Ed25519Air(proof.n_ed_segments),
+        Sha512Air(proof.n_sha512_blocks),
+    ]
+    seed = _seed_felts(proof.abi_inputs, proof.abi_output)
+    wrapped = wrap_batch(
+        airs, proof.batch, config, transcript_seed=seed,
+        wrap_config=wrap_config,
+    )
+    return CompositeProof(
+        kind=proof.kind,
+        abi_inputs=proof.abi_inputs,
+        abi_output=proof.abi_output,
+        round=proof.round,
+        nb=proof.nb,
+        nb_trusted=proof.nb_trusted,
+        n_hash_segments=proof.n_hash_segments,
+        n_ed_segments=proof.n_ed_segments,
+        n_sha512_blocks=proof.n_sha512_blocks,
+        signers=list(proof.signers),
+        ed_finals=[list(f) for f in proof.ed_finals],
+        batch=wrapped,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Verification — needs ONLY the proof object + chain config
 # ---------------------------------------------------------------------------
 
 
 def _verify_batch_and_common(
-    proof: CompositeProof, config: StarkConfig, min_security_bits: int
+    proof: CompositeProof, config: StarkConfig, min_security_bits: int,
+    wrap_config: StarkConfig | None = None,
 ):
     """Shape checks, ONE batch verification, then the shared wiring
     checks: parse the proven validator encodings, pin each signer lane,
@@ -609,7 +672,16 @@ def _verify_batch_and_common(
         Sha512Air(proof.n_sha512_blocks),
     ]
     seed = _seed_felts(proof.abi_inputs, proof.abi_output)
-    if not verify_batch(airs, proof.batch, config, transcript_seed=seed):
+    if isinstance(proof.batch, WrappedBatchProof):
+        # Recursion-wrapped: native transcript/OOD replay + ONE wrapper
+        # STARK standing in for every opening (stark/recursion.py). The
+        # wrapper config is the VERIFIER'S choice, never the proof's.
+        if not verify_wrapped_batch(
+            airs, proof.batch, config, transcript_seed=seed,
+            wrap_config=wrap_config,
+        ):
+            return None
+    elif not verify_batch(airs, proof.batch, config, transcript_seed=seed):
         return None
 
     # Reconstructed-publics consistency: a CompositeProof built in-process
@@ -688,6 +760,7 @@ def verify_skip_composite(
     skip_max: int,
     config: StarkConfig = DEFAULT_COMPOSITE_CONFIG,
     min_security_bits: int = MIN_SECURITY_BITS,
+    wrap_config: StarkConfig | None = None,
 ) -> tuple[int, bytes, int, bytes] | None:
     """Returns (trusted_block, trusted_header, target_block, target_header)
     on success, None otherwise — NEVER an exception (a structurally broken
@@ -696,7 +769,7 @@ def verify_skip_composite(
     verify_skip (verify.rs:528-563) with every hash/signature fact proven."""
     try:
         return _verify_skip_inner(
-            proof, chain_id, skip_max, config, min_security_bits
+            proof, chain_id, skip_max, config, min_security_bits, wrap_config
         )
     except _VERIFY_EXC:
         return None
@@ -708,6 +781,7 @@ def _verify_skip_inner(
     skip_max: int,
     config: StarkConfig,
     min_security_bits: int,
+    wrap_config: StarkConfig | None = None,
 ) -> tuple[int, bytes, int, bytes] | None:
     if proof.kind != "skip" or len(proof.abi_inputs) != 48:
         return None
@@ -721,7 +795,9 @@ def _verify_skip_inner(
     if not (trusted_block + 1 < target_block <= trusted_block + skip_max):
         return None
 
-    common = _verify_batch_and_common(proof, config, min_security_bits)
+    common = _verify_batch_and_common(
+        proof, config, min_security_bits, wrap_config
+    )
     if common is None:
         return None
     st_h, st_e = common
@@ -765,6 +841,7 @@ def verify_step_composite(
     chain_id: str,
     config: StarkConfig = DEFAULT_COMPOSITE_CONFIG,
     min_security_bits: int = MIN_SECURITY_BITS,
+    wrap_config: StarkConfig | None = None,
 ) -> tuple[int, bytes, bytes] | None:
     """Returns (prev_block, prev_header, next_header) on success, None
     otherwise — NEVER an exception (see verify_skip_composite). Mirrors
@@ -772,7 +849,9 @@ def verify_step_composite(
     prev+1 plus the prev-hash and next-validators-hash links (both enforced
     inside the hash STARK's statement bindings)."""
     try:
-        return _verify_step_inner(proof, chain_id, config, min_security_bits)
+        return _verify_step_inner(
+            proof, chain_id, config, min_security_bits, wrap_config
+        )
     except _VERIFY_EXC:
         return None
 
@@ -782,6 +861,7 @@ def _verify_step_inner(
     chain_id: str,
     config: StarkConfig,
     min_security_bits: int,
+    wrap_config: StarkConfig | None = None,
 ) -> tuple[int, bytes, bytes] | None:
     if proof.kind != "step" or len(proof.abi_inputs) != 40:
         return None
@@ -790,7 +870,9 @@ def _verify_step_inner(
     if len(next_header) != 32:
         return None
 
-    common = _verify_batch_and_common(proof, config, min_security_bits)
+    common = _verify_batch_and_common(
+        proof, config, min_security_bits, wrap_config
+    )
     if common is None:
         return None
     st_h, st_e = common

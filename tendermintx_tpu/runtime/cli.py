@@ -115,6 +115,11 @@ def cmd_prove(args) -> int:
             cp = prove_skip_composite(
                 trusted_block, trusted_hash, target_block, inputs
             )
+        if getattr(args, "wrap", False):
+            from ..circuits.composite import wrap_composite
+
+            cp = wrap_composite(cp)
+            print("recursion-wrapped the composite (constant-size proof)")
         result["composite_proof"] = cp.to_dict()
         print(
             f"proved composite {artifact.circuit} statement "
@@ -286,6 +291,12 @@ def main(argv=None) -> int:
         action="store_true",
         help="produce the full composite proof (hash STARK + Ed25519 STARK "
         "+ wiring), verifiable without refetching any witness data",
+    )
+    pr.add_argument(
+        "--wrap",
+        action="store_true",
+        help="recursion-wrap the composite: drop openings/query rounds in "
+        "favor of one wrapper STARK (constant-size proof)",
     )
     pr.set_defaults(fn=cmd_prove)
 

@@ -419,32 +419,33 @@ def fri_prove_batch(
     )
 
 
-def fri_verify_batch(
+def fri_replay_batch(
     proof: FriProof,
     sizes: list[int],
-    eval_fns: list,
     challenger: Challenger,
     config: FriConfig,
-    shift: int = MULTIPLICATIVE_GENERATOR,
-) -> bool:
-    """Verify a batch FRI proof. sizes[i] = codeword i's domain size;
-    eval_fns[i](idx) -> ext tuple | None recomputes codeword i's value at
-    leaf `idx` of ITS domain from the statement's (Merkle-verified)
-    openings — the batch analog of `layer0_check`."""
-    if len(sizes) != len(eval_fns) or not sizes:
-        return False
+):
+    """Transcript replay + structural/grinding checks for a batch FRI proof
+    (everything EXCEPT the per-query opening walk). Returns
+    (lambdas, entry_layer, betas, query_indices, n_layers) or None.
+
+    Shared by fri_verify_batch and the recursive wrapper's outer verifier
+    (stark/recursion.py), which replaces the opening walk with one wrapper
+    STARK — the replay must advance the challenger identically in both."""
+    if not sizes:
+        return None
     if any(s < 1 or s & (s - 1) for s in sizes):
-        return False
+        return None
     order = batch_entry_order(sizes)
     n = sizes[order[0]]
     n_layers = _batch_layer_count(sizes, config)
     if len(proof.layer_caps) != n_layers:
-        return False
+        return None
     if not _caps_well_formed(proof.layer_caps, n, config.cap_bits):
-        return False
+        return None
     final_n = n >> n_layers
     if len(proof.final_poly) > max(final_n >> config.rate_bits, 1):
-        return False
+        return None
 
     # Replay: lambdas at entry sizes interleaved with fold betas.
     lambdas: list[tuple[int, int] | None] = [None] * len(sizes)
@@ -463,16 +464,38 @@ def fri_verify_batch(
             betas.append(challenger.sample_ext())
             cur_n //= 2
     if oi != len(order):
-        return False
+        return None
     for c in proof.final_poly:
-        challenger.observe_ext(c)
+        challenger.observe_ext(tuple(c))
     pow_seed = challenger.sample()
     if not check_grind(pow_seed, proof.pow_nonce, config.proof_of_work_bits):
-        return False
+        return None
     if not 0 <= proof.pow_nonce < P:
-        return False
+        return None
     challenger.observe_element(proof.pow_nonce)
     query_indices = challenger.sample_indices(config.n_queries, n)
+    return lambdas, entry_layer, betas, query_indices, n_layers
+
+
+def fri_verify_batch(
+    proof: FriProof,
+    sizes: list[int],
+    eval_fns: list,
+    challenger: Challenger,
+    config: FriConfig,
+    shift: int = MULTIPLICATIVE_GENERATOR,
+) -> bool:
+    """Verify a batch FRI proof. sizes[i] = codeword i's domain size;
+    eval_fns[i](idx) -> ext tuple | None recomputes codeword i's value at
+    leaf `idx` of ITS domain from the statement's (Merkle-verified)
+    openings — the batch analog of `layer0_check`."""
+    if len(sizes) != len(eval_fns):
+        return False
+    replay = fri_replay_batch(proof, sizes, challenger, config)
+    if replay is None:
+        return False
+    lambdas, entry_layer, betas, query_indices, n_layers = replay
+    n = max(sizes)
 
     if len(proof.query_rounds) != config.n_queries:
         return False

@@ -336,3 +336,74 @@ def batch_proof_from_dict(d: dict, publics_list: list | None = None):
         ],
         fri_proof=fri_proof_from_dict_packed(d["fri"]),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive wrapper wire format (stark/recursion.py)
+# ---------------------------------------------------------------------------
+
+
+def stark_proof_to_dict_packed(p: StarkProof) -> dict:
+    """Full StarkProof with packed-base64 felts (the verbose per-element
+    v3 format in stark_proof_to_dict is kept for tooling; the wrapper
+    proof inside a wrapped composite uses this compact one)."""
+    d = statement_to_dict(p, include_publics=True)
+    d["fri"] = fri_proof_to_dict_packed(p.fri_proof)
+    return d
+
+
+def stark_proof_from_dict_packed(d: dict) -> StarkProof:
+    st = statement_from_dict(d)
+    return StarkProof(
+        n_rows=st.n_rows,
+        public_inputs=st.public_inputs,
+        trace_cap=st.trace_cap,
+        quotient_cap=st.quotient_cap,
+        aux_cap=st.aux_cap,
+        ood_trace=st.ood_trace,
+        ood_quotient=st.ood_quotient,
+        openings=st.openings,
+        fri_proof=fri_proof_from_dict_packed(d["fri"]),
+    )
+
+
+def wrapped_batch_to_dict(w, publics_flags: list[bool] | None = None) -> dict:
+    """recursion.WrappedBatchProof -> dict. The statements carry NO
+    openings and the FRI data NO query rounds — the wrapper proof stands
+    in for both (recursion.py module docstring)."""
+    flags = publics_flags or [True] * len(w.statements)
+    return {
+        "wrapped": True,
+        "statements": [
+            statement_to_dict(s, include_publics=f)
+            for s, f in zip(w.statements, flags)
+        ],
+        "layer_caps": [_pack_cap(c) for c in w.layer_caps],
+        "final_poly": _pack_exts(w.final_poly),
+        "pow_nonce": str(int(w.pow_nonce)),
+        "wrapper": stark_proof_to_dict_packed(w.wrapper),
+    }
+
+
+def wrapped_batch_from_dict(d: dict, publics_list: list | None = None):
+    from .recursion import WrappedBatchProof
+
+    stmts_d = d["statements"]
+    if publics_list is None:
+        publics_list = [None] * len(stmts_d)
+    if len(publics_list) != len(stmts_d):
+        raise ValueError("publics_list length mismatch")
+    statements = [
+        statement_from_dict(sd, publics=pub)
+        for sd, pub in zip(stmts_d, publics_list)
+    ]
+    for st in statements:
+        if st.openings:
+            raise ValueError("wrapped statement must not carry openings")
+    return WrappedBatchProof(
+        statements=statements,
+        layer_caps=[_unpack_cap(c) for c in d["layer_caps"]],
+        final_poly=_unpack_exts(d["final_poly"]),
+        pow_nonce=_felt(d.get("pow_nonce", 0)),
+        wrapper=stark_proof_from_dict_packed(d["wrapper"]),
+    )
