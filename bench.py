@@ -244,7 +244,7 @@ def bench_composite_skip(
 
     sizes = {}
 
-    def run(trusted_h: int, target_h: int) -> float:
+    def run(trusted_h: int, target_h: int, wrap: bool = False) -> float:
         trusted = chain.headers[trusted_h].hash()
         inputs = f.get_skip_inputs(
             trusted_h, trusted, target_h, max_validators=n_validators
@@ -260,9 +260,25 @@ def bench_composite_skip(
 
         sizes["proof_bytes"] = len(_json.dumps(proof.to_dict()))
         sizes["security_bits"] = DEFAULT_COMPOSITE_CONFIG.fri.security_bits
+        if wrap:
+            # Recursion wrapper (stark/recursion.py): one constant-size
+            # proof, openings and FRI query rounds off the wire.
+            from tendermintx_tpu.circuits.composite import wrap_composite
+
+            t0 = time.perf_counter()
+            wrapped = wrap_composite(proof)
+            sizes["wrap_seconds"] = round(time.perf_counter() - t0, 1)
+            t0 = time.perf_counter()
+            wout = verify_skip_composite(wrapped, "bench-chain", 100_800)
+            sizes["wrapped_verify_seconds"] = round(time.perf_counter() - t0, 1)
+            assert wout == out, "wrapped composite failed to verify"
+            sizes["wrapped_proof_bytes"] = len(
+                _json.dumps(wrapped.to_dict())
+            )
         return dt
 
-    cold = run(1, 5)
+    do_wrap = bool(int(os.environ.get("TMX_BENCH_WRAP", "1")))
+    cold = run(1, 5, wrap=do_wrap and _left() > 900)
     warm_dt = run(2, 6) if warm and _left() > 60 else None
     return cold, warm_dt, sizes
 
@@ -335,6 +351,10 @@ def main():
             if sizes.get("proof_bytes"):
                 extras["composite_proof_bytes"] = sizes["proof_bytes"]
                 extras["security_bits"] = sizes.get("security_bits")
+            for k in ("wrap_seconds", "wrapped_verify_seconds",
+                      "wrapped_proof_bytes"):
+                if k in sizes:
+                    extras[k] = sizes[k]
             extras[f"skip_composite_n{n}_cold_seconds"] = round(cold, 1)
             if warm_dt is not None:
                 # sanity: a warm run that beats cold means every compiled
@@ -367,6 +387,10 @@ def main():
             extras["skip_composite_n128_cold_seconds"] = round(cold128, 1)
             if sizes128.get("proof_bytes"):
                 extras["composite_n128_proof_bytes"] = sizes128["proof_bytes"]
+            for k in ("wrap_seconds", "wrapped_verify_seconds",
+                      "wrapped_proof_bytes"):
+                if k in sizes128:
+                    extras[f"n128_{k}"] = sizes128[k]
             if warm128 is not None:
                 extras["skip_composite_n128_seconds"] = round(warm128, 1)
         except Exception as e:  # noqa: BLE001

@@ -221,6 +221,10 @@ def cmd_serve(args) -> int:
         allowed_fixture_roots=args.fixture_root,
         max_pending=args.max_pending,
     )
+    if args.prewarm:
+        print("prewarming the prover (one synthetic composite)...", flush=True)
+        dt = svc.prewarm(max_validators=args.prewarm_validators)
+        print(f"prewarmed in {dt:.1f}s", flush=True)
     svc.start()
     print(f"prover service listening on {svc.url}", flush=True)
     try:
@@ -320,6 +324,14 @@ def main(argv=None) -> int:
         " without it, request-supplied fixture paths are ignored",
     )
     sv.add_argument("--max-pending", type=int, default=64)
+    sv.add_argument(
+        "--prewarm",
+        action="store_true",
+        help="prove one synthetic composite before serving, so every "
+        "request runs at steady-state latency (cold XLA/relay program "
+        "loading otherwise lands on the first request)",
+    )
+    sv.add_argument("--prewarm-validators", type=int, default=8)
     sv.set_defaults(fn=cmd_serve)
 
     sm = sub.add_parser("submit", help="submit a request to a prover service")

@@ -98,6 +98,7 @@ class ProverService:
         self._pending = 0
         self._done_order: list[str] = []
         self._lock = threading.Lock()
+        self.warm = False
         svc = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -177,6 +178,49 @@ class ProverService:
     def stop(self):
         self.queue.put(None)
         self.server.shutdown()
+
+    def prewarm(self, n_validators: int = 4, max_validators: int = 8) -> float:
+        """Compile-warm the resident prover: prove ONE synthetic composite
+        at the configured lane shape before taking requests.
+
+        This is the cold-start answer on this backend (reference parity:
+        the build/prove split of /root/reference/succinct.json:5-15).
+        Measured on the remote-TPU relay: per-executable load latency is
+        ~0.5-2 min PER PROGRAM in a fresh process even on a persistent-
+        cache HIT (the relay re-stages every executable), so only a
+        resident warmed process reaches the steady-state latency —
+        BENCH_r03: 21.6 s warm vs 755.8 s cold for the same proof. Serve
+        and operator deployments should call this once at startup.
+
+        Returns the prewarm duration in seconds."""
+        import tempfile
+        import time
+
+        from ..inputs.fetcher import InputDataFetcher, InputDataMode
+        from ..inputs.testchain import TestChain
+
+        t0 = time.time()
+        chain = TestChain(n_validators=n_validators, chain_id="prewarm")
+        for _ in range(5):
+            chain.extend()
+        tmp = tempfile.mkdtemp(prefix="prewarm_fixtures_")
+        chain.write_fixtures(tmp)
+        fetcher = InputDataFetcher(fixture_path=tmp, mode=InputDataMode.FIXTURE)
+        from ..circuits.composite import (
+            prove_skip_composite,
+            verify_skip_composite,
+        )
+
+        inputs = fetcher.get_skip_inputs(
+            1, chain.headers[1].hash(), 4, max_validators=max_validators
+        )
+        proof = prove_skip_composite(1, chain.headers[1].hash(), 4, inputs)
+        if verify_skip_composite(proof, "prewarm", 100_800) is None:
+            raise RuntimeError("prewarm proof failed to verify")
+        self.warm = True
+        dt = time.time() - t0
+        log.info("service prewarmed in %.1fs", dt)
+        return dt
 
     def _fixture_allowed(self, path) -> bool:
         if not isinstance(path, str) or not self.allowed_fixture_roots:
