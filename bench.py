@@ -275,6 +275,7 @@ def bench_composite_skip(
             sizes["wrapped_proof_bytes"] = len(
                 _json.dumps(wrapped.to_dict())
             )
+            sizes["wrapped_proof_gz_bytes"] = len(wrapped.to_bytes())
         return dt
 
     do_wrap = bool(int(os.environ.get("TMX_BENCH_WRAP", "1")))
@@ -352,7 +353,7 @@ def main():
                 extras["composite_proof_bytes"] = sizes["proof_bytes"]
                 extras["security_bits"] = sizes.get("security_bits")
             for k in ("wrap_seconds", "wrapped_verify_seconds",
-                      "wrapped_proof_bytes"):
+                      "wrapped_proof_bytes", "wrapped_proof_gz_bytes"):
                 if k in sizes:
                     extras[k] = sizes[k]
             extras[f"skip_composite_n{n}_cold_seconds"] = round(cold, 1)
@@ -388,7 +389,7 @@ def main():
             if sizes128.get("proof_bytes"):
                 extras["composite_n128_proof_bytes"] = sizes128["proof_bytes"]
             for k in ("wrap_seconds", "wrapped_verify_seconds",
-                      "wrapped_proof_bytes"):
+                      "wrapped_proof_bytes", "wrapped_proof_gz_bytes"):
                 if k in sizes128:
                     extras[f"n128_{k}"] = sizes128[k]
             if warm128 is not None:

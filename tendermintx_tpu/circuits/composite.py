@@ -249,6 +249,32 @@ class CompositeProof:
         rounds replaced by one wrapper STARK (stark/recursion.py)."""
         return isinstance(self.batch, WrappedBatchProof)
 
+    def to_bytes(self) -> bytes:
+        """Compact transport encoding: gzip of the canonical JSON (the
+        packed-base64 felts cost 33% over raw bytes; gzip recovers that
+        and the JSON framing). This is the on-the-wire form; to_dict stays
+        the canonical structural form."""
+        import gzip
+        import json as _json
+
+        return gzip.compress(
+            _json.dumps(self.to_dict(), separators=(",", ":")).encode(), 6
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes, max_size: int = 1 << 28) -> "CompositeProof":
+        """Inverse of to_bytes. Decompression is size-capped so a tiny
+        malicious blob cannot balloon memory (same boundary contract as
+        from_dict: raises ValueError on malformed input)."""
+        import gzip
+        import json as _json
+
+        with gzip.GzipFile(fileobj=__import__("io").BytesIO(data)) as f:
+            raw = f.read(max_size + 1)
+        if len(raw) > max_size:
+            raise ValueError("composite proof exceeds the size cap")
+        return cls.from_dict(_json.loads(raw))
+
     @classmethod
     def from_dict(cls, d: dict) -> "CompositeProof":
         """Raises ValueError/KeyError/TypeError on malformed input —

@@ -126,6 +126,10 @@ class OperatorConfig:
     # witness-mode validity bit (ADVICE r1: never submit on the native
     # bit alone). Kept in `last_composite`.
     prove_composite: bool = False
+    # recursion-wrap each composite (stark/recursion.py): the retained
+    # last_composite becomes the constant-size wrapped object, verified
+    # through the same gate. Requires prove_composite.
+    wrap_composite: bool = False
     # write path: with a key + ethereum_rpc + contract_address, updates are
     # submitted as signed step(uint64)/skip(uint64,uint64) transactions
     # (reference bin/tendermintx.rs:91-143). Requires prove_composite —
@@ -247,6 +251,10 @@ class TendermintXOperator:
             prev_block, prev_header, self.config.max_validators
         )
         cp = prove_step_composite(prev_block, prev_header, inputs)
+        if self.config.wrap_composite:
+            from ..circuits.composite import wrap_composite
+
+            cp = wrap_composite(cp)
         out = verify_step_composite(cp, self.tm_config.chain_id)
         if out is None:
             raise RuntimeError("composite step proof failed verification")
@@ -265,6 +273,10 @@ class TendermintXOperator:
             trusted_block, trusted_header, target_block, self.config.max_validators
         )
         cp = prove_skip_composite(trusted_block, trusted_header, target_block, inputs)
+        if self.config.wrap_composite:
+            from ..circuits.composite import wrap_composite
+
+            cp = wrap_composite(cp)
         out = verify_skip_composite(
             cp, self.tm_config.chain_id, self.tm_config.skip_max
         )

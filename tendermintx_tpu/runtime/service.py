@@ -55,11 +55,19 @@ def default_prover(request: dict) -> dict:
         prev_block, prev_hash = decode_step_input(input_bytes)
         inputs = fetcher.get_step_inputs(prev_block, prev_hash, maxv)
         proof = prove_step_composite(prev_block, prev_hash, inputs)
-        out = verify_step_composite(proof, cfg.chain_id)
     else:
         t_block, t_hash, target = decode_skip_input(input_bytes)
         inputs = fetcher.get_skip_inputs(t_block, t_hash, target, maxv)
         proof = prove_skip_composite(t_block, t_hash, target, inputs)
+    if request.get("wrap"):
+        # constant-size recursion-wrapped proof (stark/recursion.py);
+        # wrapping re-checks every opening while building the witness
+        from ..circuits.composite import wrap_composite
+
+        proof = wrap_composite(proof)
+    if request["circuit"] == "step":
+        out = verify_step_composite(proof, cfg.chain_id)
+    else:
         out = verify_skip_composite(proof, cfg.chain_id, cfg.skip_max)
     if out is None:
         raise RuntimeError("proof failed independent verification")
@@ -289,6 +297,7 @@ class ProverClient:
         max_validators: int = 128,
         fixture_path: str | None = None,
         rpc_urls: list[str] | None = None,
+        wrap: bool = False,
     ) -> str:
         code, out = self._req(
             "POST",
@@ -300,6 +309,7 @@ class ProverClient:
                 "max_validators": max_validators,
                 "fixture_path": fixture_path,
                 "rpc_urls": rpc_urls,
+                "wrap": wrap,
             },
         )
         if code != 200:

@@ -1248,11 +1248,17 @@ def wrap_batch(
 
 
 def default_wrap_config():
+    """100 conjectured bits (4*21 + 16), tuned for WIRE SIZE: the wrapper
+    proof is the deliverable, so a higher rate buys fewer queries (28->21
+    cuts every opening and FRI round by a quarter), a taller cap cuts a
+    path level from every opening, and a longer final poly drops the two
+    smallest FRI layers — measured ~150 KB off the wrapped composite for
+    a ~2x LDE-cost increase on the wrapper prove only."""
     from .prover import StarkConfig
 
     return StarkConfig(
-        rate_bits=3, n_queries=28, final_poly_len=32,
-        proof_of_work_bits=16, cap_bits=4,
+        rate_bits=4, n_queries=21, final_poly_len=64,
+        proof_of_work_bits=16, cap_bits=5,
     )
 
 
