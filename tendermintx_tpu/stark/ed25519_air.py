@@ -569,6 +569,13 @@ class _Wire:
         return _Wire(self.val * c, self.limbs * c)
 
 
+# Internal witness-invariant checks inside the trace builder's hot loop
+# (carry alignment, coefficient bounds). They hold for every decompressible
+# input by construction — a violation is a code bug the AIR verification
+# would also catch — and cost ~15% of trace build time, so they are opt-in.
+_TRACE_CHECKS = __import__("os").environ.get("TMX_TRACE_CHECKS") == "1"
+
+
 def ed25519_air_trace(pubkeys: list[bytes], msgs: list[bytes], sigs: list[bytes]):
     """Full constraint-AIR trace for a batch of signatures.
 
@@ -645,12 +652,16 @@ def ed25519_air_trace(pubkeys: list[bytes], msgs: list[bytes], sigs: list[bytes]
         prev = np.zeros((B,), dtype=np.int64)
         for kk in range(CARN):
             num = prev - E[:, kk]
-            assert not (num & 0x1FFF).any(), "mul witness carry misalignment"
+            if _TRACE_CHECKS and (num & 0x1FFF).any():
+                raise AssertionError("mul witness carry misalignment")
             c[:, kk] = num >> 13
             prev = c[:, kk]
-        assert (E[:, 39] == c[:, 38]).all(), "mul witness final coefficient"
+        if _TRACE_CHECKS:
+            if not (E[:, 39] == c[:, 38]).all():
+                raise AssertionError("mul witness final coefficient")
         cb = c + COFS
-        assert (cb >= 0).all() and (cb < (1 << 23)).all()
+        if _TRACE_CHECKS and not ((cb >= 0).all() and (cb < (1 << 23)).all()):
+            raise AssertionError("carry bias out of range")
         base = mi * MUL_BLOCK
         trace[base : base + LIMB, :, row] = r_limbs.T
         trace[base + LIMB : base + LIMB + QLIMB, :, row] = q_limbs.T

@@ -65,7 +65,7 @@ lives in public columns computed identically by prover and verifier
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import lru_cache
 
 import numpy as np
@@ -124,10 +124,6 @@ def _aff_const(c: int) -> list[int]:
 
 def _aff_add(a: list[int], b: list[int]) -> list[int]:
     return [(x + y) % P for x, y in zip(a, b)]
-
-
-def _aff_scale(c: int, a: list[int]) -> list[int]:
-    return [c * x % P for x in a]
 
 
 @lru_cache(maxsize=1)
@@ -964,7 +960,7 @@ class _Walk:
 # ---------------------------------------------------------------------------
 
 
-def _walk_cached(shape: WrapShape, publics_key: tuple, publics: list[int]):
+def _pub_walk(shape: WrapShape, publics: list[int]) -> "_Walk":
     pub = parse_publics(shape, list(publics))
     w = _Walk(shape, pub)
     w.run()
@@ -1001,7 +997,7 @@ class WrapAir(Air):
         key = tuple(int(v) for v in publics)
         walk = self._pub_cache.get(key)
         if walk is None:
-            walk = _walk_cached(self.shape, key, publics)
+            walk = _pub_walk(self.shape, publics)
             if len(self._pub_cache) >= 2:
                 self._pub_cache.clear()
             self._pub_cache[key] = walk
@@ -1128,11 +1124,6 @@ class WrapAir(Air):
 # ---------------------------------------------------------------------------
 # Wrapping a batch proof / verifying a wrapped batch
 # ---------------------------------------------------------------------------
-
-# Same conjectured security as the composite's base config: rate_bits *
-# n_queries + pow = 3*28 + 16 = 100 bits (circuits/composite.py).
-DEFAULT_WRAP_CONFIG = None  # set below once StarkConfig is importable
-
 
 @dataclass
 class WrappedBatchProof:
