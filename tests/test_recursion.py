@@ -232,3 +232,55 @@ def test_wrapped_batch_serialize_roundtrip(toy_wrapped):
     d["statements"][0]["openings"] = [[0, "", [], "", [], "", []]]
     with pytest.raises(ValueError):
         wrapped_batch_from_dict(d)
+
+
+def test_wrapped_wire_fuzz_rejects_cleanly(toy_wrapped):
+    """Mutated wrapped-batch dicts must fail CLEANLY: either a ValueError
+    family at the parse boundary or verify_wrapped_batch -> False — never
+    an uncaught exception, never acceptance."""
+    import json
+
+    from tendermintx_tpu.stark.serialize import (
+        wrapped_batch_from_dict,
+        wrapped_batch_to_dict,
+    )
+
+    airs, _proof, wrapped = toy_wrapped
+    good = wrapped_batch_to_dict(wrapped)
+
+    def mutate(fn):
+        d = json.loads(json.dumps(good))
+        fn(d)
+        return d
+
+    def w_pubs(d, v):
+        d["wrapper"]["public_inputs"] = v
+
+    cases = [
+        mutate(lambda d: d.pop("layer_caps")),
+        mutate(lambda d: d.__setitem__("layer_caps", [])),
+        mutate(lambda d: d.__setitem__("layer_caps", ["!!!not-base64!!!"])),
+        mutate(lambda d: d.__setitem__("final_poly", "AAAA")),
+        mutate(lambda d: d.__setitem__("pow_nonce", "99999999999999999999999999")),
+        mutate(lambda d: d["statements"].pop()),
+        mutate(lambda d: d["statements"][0].__setitem__("n_rows", 3)),
+        mutate(lambda d: d["statements"][0].__setitem__("n_rows", -64)),
+        mutate(lambda d: d["statements"][1].__setitem__("ood_trace", [])),
+        mutate(lambda d: d["wrapper"].__setitem__("n_rows", 8)),
+        mutate(lambda d: d["wrapper"].__setitem__("openings", [])),
+        mutate(lambda d: d["wrapper"]["fri"].__setitem__("query_rounds", [])),
+        mutate(lambda d: w_pubs(d, "")),
+        mutate(lambda d: d["wrapper"].pop("public_inputs")),
+        mutate(lambda d: d["statements"][0].__setitem__("trace_cap", "AAAA")),
+    ]
+    accepted = 0
+    for i, bad in enumerate(cases):
+        try:
+            w2 = wrapped_batch_from_dict(bad)
+        except (ValueError, KeyError, TypeError, IndexError, OverflowError):
+            continue  # clean parse-boundary rejection
+        ok = verify_wrapped_batch(
+            airs, w2, CFG, transcript_seed=SEED, wrap_config=WRAP_CFG
+        )
+        assert ok is False, f"fuzz case {i} accepted or raised"
+        accepted += 0
