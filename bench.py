@@ -214,7 +214,7 @@ def bench_leaf_stark(lanes: int = 128) -> float:
 
 
 def bench_composite_skip(
-    n_validators: int, warm: bool
+    n_validators: int, warm: bool, wrap_on: str = "cold"
 ) -> tuple[float, float | None, int | None]:
     """The north star: full composite skip proof, prove+verify seconds.
 
@@ -279,14 +279,33 @@ def bench_composite_skip(
         return dt
 
     do_wrap = bool(int(os.environ.get("TMX_BENCH_WRAP", "1")))
-    cold = run(1, 5, wrap=do_wrap and _left() > 900)
-    warm_dt = run(2, 6) if warm and _left() > 60 else None
+    # wrap_on: which run carries the recursion-wrap measurement. The N=32
+    # phase wraps on the cold run (the wrapper compiles don't pollute the
+    # warm number); the N=128 phase wraps AFTER its warm number is safely
+    # measured — the BASELINE.md target metric must never be squeezed out
+    # by wrapper compiles (budget guards are per-phase).
+    cold = run(1, 5, wrap=do_wrap and wrap_on == "cold" and _left() > 900)
+    warm_dt = (
+        run(2, 6, wrap=do_wrap and wrap_on == "warm" and _left() > 1200)
+        if warm and _left() > 60
+        else None
+    )
     return cold, warm_dt, sizes
 
 
 def main():
     extras: dict = {}
     primary = None
+
+    # Probe the Pallas kernel EAGERLY before anything traces: inside jit
+    # the probe defers (ops/poseidon_pallas.available), so without this
+    # the first traced permute would silently pin the XLA path.
+    from tendermintx_tpu.ops import poseidon_pallas as _pp
+
+    try:
+        _pp.available()
+    except Exception:  # noqa: BLE001
+        pass
 
     try:
         hps = bench_poseidon()
@@ -312,11 +331,9 @@ def main():
         # this backend or the product path fell back to XLA (VERDICT r3
         # weak #1 — the silent-probe-swallow made the kernel look wired
         # when it never fired on the recorded TPU).
-        from tendermintx_tpu.ops import poseidon_pallas as _pp
-
         extras["pallas_available"] = bool(_pp.available())
         if _pp.probe_error is not None:
-            extras["pallas_probe_error"] = _pp.probe_error
+            extras["pallas_probe_error"] = _pp.probe_error[:300]
 
     if _left() > 60:
         try:
@@ -384,7 +401,9 @@ def main():
     # BASELINE.md target metric (VERDICT r3 next-step #2).
     if _left() > 1500 and int(os.environ.get("TMX_BENCH_N128", "1")):
         try:
-            cold128, warm128, sizes128 = bench_composite_skip(128, warm=True)
+            cold128, warm128, sizes128 = bench_composite_skip(
+                128, warm=True, wrap_on="warm"
+            )
             extras["skip_composite_n128_cold_seconds"] = round(cold128, 1)
             if sizes128.get("proof_bytes"):
                 extras["composite_n128_proof_bytes"] = sizes128["proof_bytes"]

@@ -152,6 +152,11 @@ class MerkleTree:
         sponge from parallel/prover.py); it must equal hash_no_pad."""
         n = int(rows.shape[0])
         assert n & (n - 1) == 0, "n_leaves must be a power of two"
+        # Probe the Pallas kernel from THIS clean (host) context: inside
+        # the jitted leaf/layer programs the probe must defer, and without
+        # an eager probe somewhere in the product path the dispatch would
+        # silently stay on XLA forever (ops/poseidon_pallas.available).
+        ps._pallas_ok()
         rows = pad_row_width(rows)
         leaves = (leaf_fn or _leaf_hashes)(rows)
         if n == 1:

@@ -671,13 +671,23 @@ def _prove_statement(
         _np_gf(_periodic_lde(tuple(p), log_n, rate_bits, shift))
         for p in air.periodic_columns()
     )
-    public_cols = []
-    for col in air.public_columns(list(public_inputs), n):
-        assert len(col) == n
-        col_gf = GF.from_ints(np.array([[v % P for v in col]], dtype=object))
-        _, col_lde = _trace_lde_fn(rate_bits, shift)(col_gf)
-        public_cols.append(col_lde[0])
-    public_cols = tuple(public_cols)
+    pcols = air.public_columns(list(public_inputs), n)
+    if pcols:
+        # ONE batched LDE for all public columns (the recursive wrapper has
+        # ~70 schedule columns; per-column dispatches each pay the remote
+        # relay's launch latency)
+        assert all(len(col) == n for col in pcols)
+        arr = np.zeros((len(pcols), n), dtype=np.uint64)
+        for i, col in enumerate(pcols):
+            arr[i] = [v % P for v in col]
+        pc_gf = GF(
+            jnp.asarray((arr & 0xFFFFFFFF).astype(np.uint32)),
+            jnp.asarray((arr >> np.uint64(32)).astype(np.uint32)),
+        )
+        _, pc_lde = _trace_lde_fn(rate_bits, shift)(pc_gf)
+        public_cols = tuple(pc_lde[i] for i in range(len(pcols)))
+    else:
+        public_cols = ()
 
     tz, fz, lz, cz = _zerofier_inverses(log_n, rate_bits, shift)
     zinvs = (_np_gf(fz), _np_gf(tz), _np_gf(cz), _np_gf(lz))

@@ -269,9 +269,14 @@ def check_statement(
 
 def _public_cols_at_z_device(pub_cols, z, n: int):
     """Evaluate many public columns at the OOD point z with ONE jitted
-    device program (subgroup iNTT + z-power dot): the recursive wrapper's
-    ~70 schedule columns over 2^15 rows would cost ~0.5 s EACH through the
-    pure-Python iNTT; batched on device they cost one dispatch."""
+    program (subgroup iNTT + z-power dot): the recursive wrapper's ~70
+    schedule columns over 2^15 rows would cost ~0.5 s EACH through the
+    pure-Python iNTT; batched they cost one dispatch.
+
+    Pinned to the LOCAL CPU backend when one coexists with an accelerator:
+    verification is host logic, and on the remote-TPU relay every dispatch
+    pays ~0.7 s tunnel latency that would dominate verify time."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -282,11 +287,23 @@ def _public_cols_at_z_device(pub_cols, z, n: int):
     arr = np.zeros((k, n), dtype=np.uint64)
     for i, col in enumerate(pub_cols):
         arr[i] = [int(v) % P for v in col]
-    cols_lo = jnp.asarray((arr & 0xFFFFFFFF).astype(np.uint32))
-    cols_hi = jnp.asarray((arr >> np.uint64(32)).astype(np.uint32))
-    zeros = jnp.zeros_like(cols_lo)
-    coeffs, _ = _coset_intt_fn(1)(GF(cols_lo, cols_hi), GF(zeros, zeros))
-    zpow = _zpowers_fn(_ext_scalar(z), n)
-    ood = _ood_trace_fn(coeffs, zpow, GF.ones((1, n)))  # single offset g^0
-    v0, v1 = ood.c0.to_ints(), ood.c1.to_ints()
+
+    def run():
+        cols_lo = jnp.asarray((arr & 0xFFFFFFFF).astype(np.uint32))
+        cols_hi = jnp.asarray((arr >> np.uint64(32)).astype(np.uint32))
+        zeros = jnp.zeros_like(cols_lo)
+        coeffs, _ = _coset_intt_fn(1)(GF(cols_lo, cols_hi), GF(zeros, zeros))
+        zpow = _zpowers_fn(_ext_scalar(z), n)
+        ood = _ood_trace_fn(coeffs, zpow, GF.ones((1, n)))  # offset g^0
+        return ood.c0.to_ints(), ood.c1.to_ints()
+
+    try:
+        cpu = jax.local_devices(backend="cpu")
+        if cpu and jax.devices()[0].platform != "cpu":
+            with jax.default_device(cpu[0]):
+                v0, v1 = run()
+        else:
+            v0, v1 = run()
+    except RuntimeError:  # no separate cpu backend registered
+        v0, v1 = run()
     return [HostFelt((int(v0[0][i]), int(v1[0][i]))) for i in range(k)]
