@@ -247,6 +247,7 @@ def cmd_submit(args) -> int:
         max_validators=args.max_validators,
         fixture_path=args.fixture_path,
         rpc_urls=args.rpc_url or None,
+        wrap=getattr(args, "wrap", False),
     )
     print(f"request {req_id}", flush=True)
     result = client.wait(req_id, timeout=args.timeout)
@@ -341,6 +342,11 @@ def main(argv=None) -> int:
     sm.add_argument("--input", required=True, help="abi.encodePacked hex")
     sm.add_argument("--max-validators", type=int, default=128)
     sm.add_argument("--fixture-path", default=None)
+    sm.add_argument(
+        "--wrap",
+        action="store_true",
+        help="request a recursion-wrapped (constant-size) composite",
+    )
     sm.add_argument("--rpc-url", action="append", default=None)
     sm.add_argument("--timeout", type=float, default=3600)
     sm.add_argument("--out", default="proof.json")
