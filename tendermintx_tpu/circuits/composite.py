@@ -614,6 +614,7 @@ def wrap_composite(
     proof: CompositeProof,
     config: StarkConfig = DEFAULT_COMPOSITE_CONFIG,
     wrap_config: StarkConfig | None = None,
+    mesh=None,
 ) -> CompositeProof:
     """Recursion-wrap a composite: replace the batch's openings and FRI
     query rounds with ONE wrapper STARK (stark/recursion.py), making the
@@ -633,7 +634,7 @@ def wrap_composite(
     seed = _seed_felts(proof.abi_inputs, proof.abi_output)
     wrapped = wrap_batch(
         airs, proof.batch, config, transcript_seed=seed,
-        wrap_config=wrap_config,
+        wrap_config=wrap_config, mesh=mesh,
     )
     return CompositeProof(
         kind=proof.kind,

@@ -1181,6 +1181,7 @@ def wrap_batch(
     config,
     transcript_seed=None,
     wrap_config=None,
+    mesh=None,
 ):
     """Prove the wrapper STARK for a (valid) BatchStarkProof and return the
     WrappedBatchProof. Raises ValueError if the input proof does not verify
@@ -1225,7 +1226,7 @@ def wrap_batch(
     # the witness walk's schedule IS the public-column walk — prime the
     # cache so prove() does not re-run it
     air_w._pub_cache[tuple(publics)] = walk
-    wrapper = prove(air_w, trace, publics, wrap_config)
+    wrapper = prove(air_w, trace, publics, wrap_config, mesh=mesh)
 
     from dataclasses import replace as _dc_replace
 
