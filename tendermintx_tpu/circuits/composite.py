@@ -702,10 +702,16 @@ def _verify_batch_and_common(
     if isinstance(proof.batch, WrappedBatchProof):
         # Recursion-wrapped: native transcript/OOD replay + ONE wrapper
         # STARK standing in for every opening (stark/recursion.py). The
-        # wrapper config is the VERIFIER'S choice, never the proof's.
+        # wrapper config is the VERIFIER'S choice, never the proof's, and
+        # it must meet the same security floor as the base config.
+        from ..stark.recursion import default_wrap_config
+
+        wcfg = wrap_config or default_wrap_config()
+        if wcfg.fri.security_bits < min_security_bits:
+            return None
         if not verify_wrapped_batch(
             airs, proof.batch, config, transcript_seed=seed,
-            wrap_config=wrap_config,
+            wrap_config=wcfg,
         ):
             return None
     elif not verify_batch(airs, proof.batch, config, transcript_seed=seed):

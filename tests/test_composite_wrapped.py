@@ -35,7 +35,9 @@ CFG = StarkConfig(
 WRAP_CFG = StarkConfig(
     rate_bits=3, n_queries=6, final_poly_len=32, proof_of_work_bits=2
 )
-MIN_BITS = CFG.fri.security_bits  # reduced-security test floor
+# reduced-security test floor: both the base and the wrap config must
+# clear it (the wrapped verify enforces the floor on BOTH)
+MIN_BITS = min(CFG.fri.security_bits, WRAP_CFG.fri.security_bits)
 
 
 @pytest.fixture(scope="module")
