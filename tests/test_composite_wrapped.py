@@ -112,3 +112,35 @@ def test_wrapped_composite_tamper_rejected(wrapped_proof):
 
     # wrong chain still rejected through the wrapped path
     assert verify_skip_composite(wrapped, "other", SKIP_MAX, **args) is None
+
+
+def test_wrapped_step_composite():
+    """Step-kind wrapped composite: prove, wrap, wire roundtrip, verify."""
+    from tendermintx_tpu.circuits.composite import (
+        prove_step_composite,
+        verify_step_composite,
+    )
+
+    chain = TestChain(n_validators=4, chain_id=CHAIN_ID)
+    for _ in range(5):
+        chain.extend()
+    tmp = tempfile.mkdtemp(prefix="wrapped_step_fixtures_")
+    chain.write_fixtures(tmp)
+    f = InputDataFetcher(fixture_path=tmp, mode=InputDataMode.FIXTURE)
+    prev = chain.headers[3].hash()
+    inputs = f.get_step_inputs(3, prev, max_validators=8)
+    base = prove_step_composite(3, prev, inputs, config=CFG)
+    wrapped = wrap_composite(base, config=CFG, wrap_config=WRAP_CFG)
+    proof2 = CompositeProof.from_bytes(wrapped.to_bytes())
+    out = verify_step_composite(
+        proof2, CHAIN_ID, config=CFG,
+        min_security_bits=MIN_BITS, wrap_config=WRAP_CFG,
+    )
+    assert out == (3, prev, inputs.next_header)
+    # tamper: a wrapper cap bit flips -> reject
+    bad = copy.deepcopy(proof2)
+    bad.batch.wrapper.trace_cap[0][0] ^= 1
+    assert verify_step_composite(
+        bad, CHAIN_ID, config=CFG,
+        min_security_bits=MIN_BITS, wrap_config=WRAP_CFG,
+    ) is None

@@ -22,6 +22,16 @@ def mesh():
     return make_lane_mesh(8)
 
 
+@pytest.fixture(autouse=True)
+def _release_executables():
+    """Drop live compiled programs between tests: each test in this file
+    compiles multi-GB sharded graphs, and XLA:CPU has been observed to
+    SIGABRT mid-eager-dispatch once several of them accumulate in one
+    process (the disk cache makes recompiles cheap)."""
+    yield
+    jax.clear_caches()
+
+
 def test_sharded_poseidon_matches_single(mesh):
     rng = np.random.default_rng(3)
     states = [[int(rng.integers(0, 2**63)) % P for _ in range(12)] for _ in range(64)]
