@@ -293,6 +293,19 @@ def bench_composite_skip(
     return cold, warm_dt, sizes
 
 
+def _with_relay_retry(fn, wait: float = 90.0):
+    """The remote-TPU relay intermittently drops with UNAVAILABLE
+    mid-phase (observed repeatedly under load); one spaced retry rescues
+    the record when the blip is transient. Anything else re-raises."""
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001
+        if "UNAVAILABLE" not in repr(e) or _left() < 600:
+            raise
+        time.sleep(min(wait, max(_left() - 300, 0)))
+        return fn()
+
+
 def main():
     extras: dict = {}
     primary = None
@@ -365,7 +378,9 @@ def main():
     if _left() > 300:
         n = int(os.environ.get("TMX_BENCH_N", "32"))
         try:
-            cold, warm_dt, sizes = bench_composite_skip(n, warm=True)
+            cold, warm_dt, sizes = _with_relay_retry(
+                lambda: bench_composite_skip(n, warm=True)
+            )
             if sizes.get("proof_bytes"):
                 extras["composite_proof_bytes"] = sizes["proof_bytes"]
                 extras["security_bits"] = sizes.get("security_bits")
@@ -401,8 +416,8 @@ def main():
     # BASELINE.md target metric (VERDICT r3 next-step #2).
     if _left() > 1500 and int(os.environ.get("TMX_BENCH_N128", "1")):
         try:
-            cold128, warm128, sizes128 = bench_composite_skip(
-                128, warm=True, wrap_on="warm"
+            cold128, warm128, sizes128 = _with_relay_retry(
+                lambda: bench_composite_skip(128, warm=True, wrap_on="warm")
             )
             extras["skip_composite_n128_cold_seconds"] = round(cold128, 1)
             if sizes128.get("proof_bytes"):
