@@ -33,11 +33,14 @@ and whose verifier needs ONLY this object (plus the chain config):
 
 All three statements share one transcript (seeded with the ABI IO) and one
 FRI layer family / query set, so the serialized object carries a single
-proof's worth of FRI data. Publics that are a deterministic function of
-data the proof already carries are NOT serialized: the Ed25519 lane
-publics (except the 60 projective final-state limbs per lane) and ALL
-SHA-512 publics are reconstructed at deserialization from the signers +
-proven validator encodings.
+proof's worth of FRI data. Wire v4: NO statement publics ship at all —
+the verifier reconstructs every public-input vector from the minimal
+witness bytes (validator leaf encodings + header-proof aunts for the hash
+statement via a native plan walk, signer (index, signature, message)
+triples for the Ed25519/SHA-512 statements, lane final states via a
+native ladder replay) and the STARK transcript binds the reconstruction.
+Statement data on the wire is ~120 raw bytes per validator; everything
+else in the proof is independent of N.
 
 Default security: rate_bits=3, 28 queries, 16 pow bits = 100 conjectured
 bits (plonky2's standard-config target; /root/reference/Cargo.lock:2957).
@@ -59,6 +62,7 @@ from ..stark.ed25519_air import (
     SEGMENT as ED_SEGMENT_ROWS,
     Ed25519Air,
     check_lane_publics,
+    derive_lane_final,
     derive_lane_publics,
     ed25519_air_trace,
 )
@@ -78,8 +82,6 @@ from ..stark.recursion import (
     wrap_batch,
 )
 from ..stark.serialize import (
-    _pack,
-    _unpack,
     batch_proof_from_dict,
     batch_proof_to_dict,
     wrapped_batch_from_dict,
@@ -93,6 +95,7 @@ from .hashing import (
     check_plan,
     check_skip_hash_publics,
     check_step_hash_publics,
+    plan_publics,
     skip_hash_statement,
     step_hash_statement,
 )
@@ -118,6 +121,112 @@ def _seed_felts(*parts: bytes, roots: list[list[int]] = ()) -> list[int]:
     for r in roots:
         out.extend(int(v) for v in r)
     return out
+
+
+def _pack_blobs(blobs: list[bytes]) -> str:
+    """Length-prefixed byte blobs -> base64 (wire v4). Each blob is
+    u16-le length ‖ bytes; the whole sequence is one base64 string, so
+    raw witness bytes cost ~1.33x their size instead of ~10x as felts."""
+    import base64
+
+    out = bytearray()
+    for b in blobs:
+        if len(b) > 0xFFFF:
+            raise ValueError("blob too long to pack")
+        out += len(b).to_bytes(2, "little")
+        out += b
+    return base64.b64encode(bytes(out)).decode()
+
+
+def _unpack_blobs(s: str, max_total: int = 1 << 22) -> list[bytes]:
+    """Inverse of _pack_blobs; size-capped, raises ValueError on any
+    malformed framing (the from_dict failure contract)."""
+    import base64
+
+    raw = base64.b64decode(str(s), validate=True)
+    if len(raw) > max_total:
+        raise ValueError("packed blob sequence exceeds the size cap")
+    out = []
+    i = 0
+    while i < len(raw):
+        if i + 2 > len(raw):
+            raise ValueError("truncated blob length prefix")
+        n = int.from_bytes(raw[i : i + 2], "little")
+        i += 2
+        if i + n > len(raw):
+            raise ValueError("truncated blob payload")
+        out.append(bytes(raw[i : i + n]))
+        i += n
+    return out
+
+
+_DUMMY_FINAL_CACHE: list[int] | None = None
+
+
+def _dummy_final() -> list[int]:
+    """Final-state limbs of the shared dummy lane (computed once)."""
+    global _DUMMY_FINAL_CACHE
+    if _DUMMY_FINAL_CACHE is None:
+        fin = derive_lane_final(DUMMY_PUBLIC_KEY, DUMMY_MESSAGE, DUMMY_SIGNATURE)
+        assert fin is not None
+        _DUMMY_FINAL_CACHE = fin
+    return _DUMMY_FINAL_CACHE
+
+
+def _free_hash_data(
+    kind: str, nb: int, nb_trusted: int, n_hash_segments: int,
+    hash_publics: list[int],
+) -> tuple[list[bytes], list[bytes]]:
+    """(data-job preimages, free-side aunts), both in plan-job order —
+    the minimal witness bytes the wire carries instead of the full hash
+    publics vector (~10x smaller; the verifier rebuilds the publics with
+    plan_publics and native SHA-256)."""
+    plan = (
+        build_skip_plan(nb, nb_trusted)[0]
+        if kind == "skip"
+        else build_step_plan(nb)[0]
+    )
+    res = check_plan(plan, hash_publics, n_hash_segments)
+    if res is None:
+        raise ValueError("hash publics do not match the plan")
+    data = [res.data[j] for j, job in enumerate(plan.jobs) if job[0] == "data"]
+    aunts = [res.aunts[j] for j in sorted(res.aunts)]
+    return data, aunts
+
+
+def _rebuild_hash_publics(
+    kind: str, nb: int, nb_trusted: int, n_hash_segments: int,
+    data: list[bytes], aunts: list[bytes],
+) -> list[int]:
+    """Wire v4 inverse of _free_hash_data: native plan walk over the
+    shipped free bytes. Any framing/shape mismatch raises ValueError."""
+    plan = (
+        build_skip_plan(nb, nb_trusted)[0]
+        if kind == "skip"
+        else build_step_plan(nb)[0]
+    )
+    data_jobs = [j for j, job in enumerate(plan.jobs) if job[0] == "data"]
+    free_jobs = [
+        j
+        for j, job in enumerate(plan.jobs)
+        if job[0] == "inner" and ("free",) in (job[1], job[2])
+    ]
+    if len(data) != len(data_jobs):
+        raise ValueError("wrong data-job count for the plan")
+    if len(aunts) != len(free_jobs):
+        raise ValueError("wrong aunt count for the plan")
+    for a in aunts:
+        if len(a) != 32:
+            raise ValueError("aunt must be 32 bytes")
+    publics = plan_publics(
+        plan,
+        dict(zip(data_jobs, data)),
+        dict(zip(free_jobs, aunts)),
+        min_segments=n_hash_segments,
+    )
+    if len(publics) != PUB_PER_HASH_SEGMENT * n_hash_segments:
+        raise ValueError("hash segment count does not match the plan")
+    return publics
 
 
 def parse_simple_validator(enc: bytes) -> tuple[bytes, int] | None:
@@ -210,9 +319,26 @@ class CompositeProof:
     batch: BatchStarkProof
 
     def to_dict(self) -> dict:
+        # Wire v4: NO statement publics ship at all. The hash statement's
+        # publics (the wire's former N-scaling bulk, ~25 felts per SHA-256
+        # segment) are replaced by the plan's FREE bytes — leaf preimages
+        # + header-proof aunts, ~46 raw bytes per validator — and the
+        # verifier rebuilds the full vector natively (plan_publics).
+        # Signers and final-state limbs pack as raw bytes/u16s.
+        hash_data, hash_aunts = _free_hash_data(
+            self.kind, self.nb, self.nb_trusted, self.n_hash_segments,
+            [int(v) for v in self.batch.statements[0].public_inputs],
+        )
+        signer_blobs = []
+        for s in self.signers:
+            if len(s.signature) != 64 or not 0 <= s.index < 1 << 16:
+                raise ValueError("unserializable signer")
+            signer_blobs.append(
+                s.index.to_bytes(2, "little") + s.signature + s.message
+            )
         return {
             "kind": f"{self.kind}-composite",
-            "version": 3,
+            "version": 4,
             "abi_inputs": self.abi_inputs.hex(),
             "abi_output": self.abi_output.hex(),
             "round": self.round,
@@ -221,24 +347,19 @@ class CompositeProof:
             "n_hash_segments": self.n_hash_segments,
             "n_ed_segments": self.n_ed_segments,
             "n_sha512_blocks": self.n_sha512_blocks,
-            "signers": [
-                {
-                    "index": s.index,
-                    "message": s.message.hex(),
-                    "signature": s.signature.hex(),
-                }
-                for s in self.signers
-            ],
-            "ed_finals": _pack([v for fin in self.ed_finals for v in fin]),
-            # hash-statement publics ship; Ed25519/SHA-512 publics are
-            # reconstructed at from_dict
+            "hash_data": _pack_blobs(hash_data),
+            "hash_aunts": _pack_blobs(hash_aunts),
+            "signers": _pack_blobs(signer_blobs),
+            # no ed_finals on the wire: the verifier replays each lane's
+            # ladder natively (derive_lane_final) — the final states are a
+            # deterministic function of (pubkey, message, signature)
             "batch": (
                 wrapped_batch_to_dict(
-                    self.batch, publics_flags=[True, False, False]
+                    self.batch, publics_flags=[False, False, False]
                 )
                 if isinstance(self.batch, WrappedBatchProof)
                 else batch_proof_to_dict(
-                    self.batch, publics_flags=[True, False, False]
+                    self.batch, publics_flags=[False, False, False]
                 )
             ),
         }
@@ -287,16 +408,19 @@ class CompositeProof:
         kind = kind[: -len("-composite")]
         if kind not in ("skip", "step"):
             raise ValueError(f"unknown composite kind: {kind!r}")
-        if int(d.get("version", 0)) != 3:
+        if int(d.get("version", 0)) != 4:
             raise ValueError("unsupported composite proof version")
-        signers = [
-            LaneSig(
-                index=int(s["index"]),
-                message=bytes.fromhex(s["message"]),
-                signature=bytes.fromhex(s["signature"]),
+        signers = []
+        for blob in _unpack_blobs(d["signers"], max_total=1 << 20):
+            if len(blob) < 2 + 64 + 1:
+                raise ValueError("truncated signer record")
+            signers.append(
+                LaneSig(
+                    index=int.from_bytes(blob[:2], "little"),
+                    message=blob[66:],
+                    signature=blob[2:66],
+                )
             )
-            for s in d["signers"]
-        ]
         nb = int(d["nb"])
         nb_trusted = int(d["nb_trusted"])
         n_hash_segments = int(d["n_hash_segments"])
@@ -312,7 +436,10 @@ class CompositeProof:
             raise ValueError("bad trusted validator count")
         if kind == "skip" and nb_trusted < 1:
             raise ValueError("skip proof needs a trusted set")
-        if not (1 <= n_hash_segments <= 1 << 20) or n_hash_segments & (
+        # 1<<17 segments covers the nb<=4096 cap with headroom; anything
+        # larger is a memory-amplification attempt (publics reconstruction
+        # materializes 25 felts per claimed segment).
+        if not (1 <= n_hash_segments <= 1 << 17) or n_hash_segments & (
             n_hash_segments - 1
         ):
             raise ValueError("bad hash segment count")
@@ -322,19 +449,33 @@ class CompositeProof:
             raise ValueError("bad ed segment count")
         if len(signers) > B:
             raise ValueError("more signers than ed lanes")
-        fin_flat = _unpack(d["ed_finals"], 60 * B)
-        ed_finals = [fin_flat[60 * i : 60 * (i + 1)] for i in range(B)]
 
         batch_d = d["batch"]
         stmts = batch_d["statements"]
         if len(stmts) != 3:
             raise ValueError("composite batch must have 3 statements")
-        hash_publics = _unpack(stmts[0]["public_inputs"])
+        hash_publics = _rebuild_hash_publics(
+            kind, nb, nb_trusted, n_hash_segments,
+            _unpack_blobs(d["hash_data"]), _unpack_blobs(d["hash_aunts"]),
+        )
+        # final states never ship: replay each signer lane's ladder
+        # natively (pubkeys come from the proven leaf encodings), dummies
+        # share one precomputed final
+        signer_pks = _signer_pubkeys(
+            kind, nb, nb_trusted, n_hash_segments, hash_publics, signers
+        )
+        ed_finals = []
+        for ls, pk in zip(signers, signer_pks):
+            fin = derive_lane_final(pk, ls.message, ls.signature)
+            if fin is None:
+                raise ValueError("signer lane fails to decompress")
+            ed_finals.append(fin)
+        ed_finals.extend([_dummy_final()] * (B - len(signers)))
         ed_publics, sha_publics = _reconstruct_publics(
             kind, nb, nb_trusted, n_hash_segments, hash_publics, signers,
             ed_finals, B,
         )
-        publics_list = [None, ed_publics, sha_publics]
+        publics_list = [hash_publics, ed_publics, sha_publics]
         if batch_d.get("wrapped"):
             batch = wrapped_batch_from_dict(batch_d, publics_list=publics_list)
         else:

@@ -39,6 +39,7 @@ from ..stark.sha256_air import (
     pad_message,
     schedule_messages,
     sha256_batch_trace,
+    sha256_publics,
 )
 from ..stark.verifier import verify
 from .consts import (
@@ -150,31 +151,64 @@ def plan_statement(
     data_map: bytes per data job; aunt_map: 32-byte aunt per inner job
     with a free side. The trace is padded with throwaway empty-message
     segments to a power-of-two segment count."""
+    blocks, chain, total = _plan_blocks(plan, data_map, aunt_map, min_segments)
+    trace, publics = sha256_batch_trace(blocks, chain)
+    return Sha256Air(total), trace, publics
+
+
+def _plan_blocks(
+    plan: Plan,
+    data_map: dict[int, bytes],
+    aunt_map: dict[int, bytes],
+    min_segments: int = 32,
+) -> tuple[list[bytes], list[int], int]:
+    """The plan's padded 64-byte block schedule (blocks, chain, total
+    segments), shared by the prover (plan_statement) and the wire-v4
+    publics reconstruction (plan_publics)."""
     digests: list[bytes] = []
     messages: list[bytes] = []
     for j, job in enumerate(plan.jobs):
         if job[0] == "data":
             msg = data_map[j]
             exp = (len(msg) + 9 + 63) // 64
-            assert exp == job[1], (
-                f"job {j}: {len(msg)}-byte data needs {exp} segments, plan says {job[1]}"
-            )
+            if exp != job[1]:
+                raise ValueError(
+                    f"job {j}: {len(msg)}-byte data needs {exp} segments, "
+                    f"plan says {job[1]}"
+                )
         else:
             _, left, right = job
             lb = digests[left[1]] if left[0] == "job" else aunt_map[j]
             rb = digests[right[1]] if right[0] == "job" else aunt_map[j]
+            if len(lb) != 32 or len(rb) != 32:
+                raise ValueError("inner-node side must be a 32-byte digest")
             msg = b"\x01" + lb + rb
         messages.append(msg)
         digests.append(hashlib.sha256(msg).digest())
 
     total = max(_next_pow2(plan.n_segments), min_segments)
-    blocks, chain, spans = schedule_messages(messages)
+    blocks, chain, _spans = schedule_messages(messages)
     assert len(blocks) == plan.n_segments
     while len(blocks) < total:
         blocks.append(pad_message(b"")[0])
         chain.append(0)
-    trace, publics = sha256_batch_trace(blocks, chain)
-    return Sha256Air(total), trace, publics
+    return blocks, chain, total
+
+
+def plan_publics(
+    plan: Plan,
+    data_map: dict[int, bytes],
+    aunt_map: dict[int, bytes],
+    min_segments: int = 32,
+) -> list[int]:
+    """The hash statement's public inputs, recomputed natively from the
+    plan's FREE data (leaf preimages + aunts) — no trace build. Wire v4
+    (circuits/composite.py) ships only the free bytes; the verifier
+    rebuilds the full publics vector here and binds it into the STARK
+    transcript, so a wrong reconstruction can only make verification
+    fail, never accept a different statement."""
+    blocks, chain, _total = _plan_blocks(plan, data_map, aunt_map, min_segments)
+    return sha256_publics(blocks, chain)
 
 
 def prove_plan(

@@ -137,6 +137,24 @@ def ladder_final_matches(pubkey: bytes, msg: bytes, sig: bytes) -> bool:
     return (X - R[0] * Z) % P25519 == 0 and (Y - R[1] * Z) % P25519 == 0
 
 
+def derive_lane_final(pubkey: bytes, msg: bytes, sig: bytes) -> list[int] | None:
+    """The 60 final-state limbs (X, Y, Z at base 2^13) the prover's ladder
+    emits for this lane — a NATIVE replay of the exact double-and-add
+    schedule, so the composite wire (v4) ships no final-state data at all:
+    the verifier recomputes the expected publics and the STARK transcript
+    binds them. ~2-3 ms per lane of host bigint work. None on malformed
+    encodings (from_dict's failure contract)."""
+    try:
+        states, _, _, _R = ladder_rows(pubkey, msg, sig)
+    except ValueError:
+        return None
+    X, Y, Z, _ = states[-1]
+    out: list[int] = []
+    for v in (X, Y, Z):
+        out.extend(_limbs_list(v))
+    return out
+
+
 def ed25519_trace(pubkey: bytes, msg: bytes, sig: bytes):
     """(coords+sels trace (N_COORD_COLS+2, 256) uint32 limbs, table, R)."""
     states, sels, table, R = ladder_rows(pubkey, msg, sig)

@@ -1325,6 +1325,16 @@ def _verify_wrapped_inner(
     wp = wrapped.wrapper
     if int(wp.n_rows) != wrap_n_rows(shape):
         return False
-    if [int(v) for v in wp.public_inputs] != expected:
-        return False
+    if wp.public_inputs:
+        # in-memory proof objects still carry the prover's publics —
+        # they must agree with the verifier-derived vector
+        if [int(v) for v in wp.public_inputs] != expected:
+            return False
+    else:
+        # wire form (serialize.wrapped_batch_to_dict): the wrapper's
+        # publics never ship; verify against the derived vector, which is
+        # strictly the verifier's own statement of what must be proven
+        from dataclasses import replace as _dc_replace
+
+        wp = _dc_replace(wp, public_inputs=expected)
     return verify(WrapAir(shape), wp, wrap_config)

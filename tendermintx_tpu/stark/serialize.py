@@ -343,17 +343,19 @@ def batch_proof_from_dict(d: dict, publics_list: list | None = None):
 # ---------------------------------------------------------------------------
 
 
-def stark_proof_to_dict_packed(p: StarkProof) -> dict:
+def stark_proof_to_dict_packed(p: StarkProof, include_publics: bool = True) -> dict:
     """Full StarkProof with packed-base64 felts (the verbose per-element
     v3 format in stark_proof_to_dict is kept for tooling; the wrapper
     proof inside a wrapped composite uses this compact one)."""
-    d = statement_to_dict(p, include_publics=True)
+    d = statement_to_dict(p, include_publics=include_publics)
     d["fri"] = fri_proof_to_dict_packed(p.fri_proof)
     return d
 
 
 def stark_proof_from_dict_packed(d: dict) -> StarkProof:
-    st = statement_from_dict(d)
+    st = statement_from_dict(
+        d, publics=None if "public_inputs" in d else []
+    )
     return StarkProof(
         n_rows=st.n_rows,
         public_inputs=st.public_inputs,
@@ -381,7 +383,10 @@ def wrapped_batch_to_dict(w, publics_flags: list[bool] | None = None) -> dict:
         "layer_caps": [_pack_cap(c) for c in w.layer_caps],
         "final_poly": _pack_exts(w.final_poly),
         "pow_nonce": str(int(w.pow_nonce)),
-        "wrapper": stark_proof_to_dict_packed(w.wrapper),
+        # the wrapper's public-input vector is fully verifier-derived
+        # (recursion.verify_wrapped_batch rebuilds it from the wire header
+        # and the transcript), so it never ships — ~25-35 KB saved
+        "wrapper": stark_proof_to_dict_packed(w.wrapper, include_publics=False),
     }
 
 

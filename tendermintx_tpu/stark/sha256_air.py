@@ -445,6 +445,48 @@ def sha256_block_trace(block: bytes):
     return sha256_batch_trace([block])
 
 
+def sha256_publics(blocks: list[bytes], chain: list[int] | None = None) -> list[int]:
+    """The publics sha256_batch_trace would emit, WITHOUT building the
+    trace: per segment 16 message words + 8 (chained) digest words + the
+    chain flag. A deterministic host computation over the blocks, mirroring
+    sha512_air.sha512_publics — the composite wire (v4) drops the hash
+    statement's publics and rebuilds them here from the plan's free data
+    at deserialization time."""
+    B = len(blocks)
+    if chain is None:
+        chain = [0] * B
+    if len(chain) != B or (B and chain[0] != 0):
+        raise ValueError("chain flags form no valid schedule")
+    msg_words = np.zeros((B, 16), dtype=np.uint64)
+    for s, block in enumerate(blocks):
+        if len(block) != 64:
+            raise ValueError("SHA-256 block must be 64 bytes")
+        msg_words[s] = np.frombuffer(block, dtype=">u4").astype(np.uint64)
+    iv = np.zeros((B, 8), dtype=np.uint64)
+    H64 = np.array(H, dtype=np.uint64)
+    digests = [None] * B
+    for s in range(B):
+        if chain[s] == 0:
+            iv[s] = H64
+    todo = list(range(B))
+    while todo:
+        ready = [s for s in todo if chain[s] == 0 or digests[s - 1] is not None]
+        if not ready:
+            raise ValueError("chain flags form no valid schedule")
+        batch = _compress_batch(msg_words[ready], iv[ready])
+        for bi, s in enumerate(ready):
+            digests[s] = batch[6][bi]
+            if s + 1 < B and chain[s + 1] == 1:
+                iv[s + 1] = batch[6][bi]
+        todo = [s for s in todo if digests[s] is None]
+    publics: list[int] = []
+    for s in range(B):
+        publics.extend(int(v) for v in msg_words[s])
+        publics.extend(int(v) for v in digests[s])
+        publics.append(int(chain[s]))
+    return publics
+
+
 def digest_words_to_bytes(words: list[int]) -> bytes:
     return b"".join(int(wd).to_bytes(4, "big") for wd in words)
 

@@ -99,27 +99,38 @@ def _real_pieces(kind: str):
         lanes = inputs.next_block_validators
         abi = (3).to_bytes(8, "big") + chain.headers[3].hash()
         out = inputs.next_header
-    signers = []
+    signer_blobs = []
     for i, l in enumerate(lanes[:nb]):
         if l.signed:
-            signers.append(
-                {
-                    "index": i,
-                    "message": l.message[: l.message_byte_length].hex(),
-                    "signature": l.signature.hex(),
-                }
+            signer_blobs.append(
+                i.to_bytes(2, "little")
+                + l.signature
+                + l.message[: l.message_byte_length]
             )
-    res = (publics, nb, nbt, signers, abi.hex(), out.hex(), air.n_blocks)
+    from tendermintx_tpu.circuits.composite import (
+        _free_hash_data,
+        _pack_blobs,
+    )
+
+    hash_data, hash_aunts = _free_hash_data(
+        kind, nb, nbt, air.n_blocks, publics
+    )
+    res = (
+        _pack_blobs(hash_data), _pack_blobs(hash_aunts),
+        nb, nbt, _pack_blobs(signer_blobs),
+        abi.hex(), out.hex(), air.n_blocks,
+    )
     _CACHED[kind] = res
     return res
 
 
 def _fake_composite_dict(kind: str = "skip") -> dict:
-    publics, nb, nbt, signers, abi_hex, out_hex, n_segments = _real_pieces(kind)
+    (hash_data, hash_aunts, nb, nbt, signers, abi_hex, out_hex,
+     n_segments) = _real_pieces(kind)
     B = 2
     return {
         "kind": f"{kind}-composite",
-        "version": 3,
+        "version": 4,
         "abi_inputs": abi_hex,
         "abi_output": out_hex,
         "round": 0,
@@ -128,11 +139,12 @@ def _fake_composite_dict(kind: str = "skip") -> dict:
         "n_hash_segments": n_segments,
         "n_ed_segments": B,
         "n_sha512_blocks": 4,
+        "hash_data": hash_data,
+        "hash_aunts": hash_aunts,
         "signers": signers,
-        "ed_finals": _pack([1] * (60 * B)),
         "batch": {
             "statements": [
-                _fake_statement_dict(publics, n_segments * 64, 170),
+                _fake_statement_dict(None, n_segments * 64, 170),
                 _fake_statement_dict(None, B * 256, 8),
                 _fake_statement_dict(None, 4 * 128, 8),
             ],

@@ -241,6 +241,7 @@ def test_wrapped_wire_fuzz_rejects_cleanly(toy_wrapped):
     import json
 
     from tendermintx_tpu.stark.serialize import (
+        _pack as _recursion_pack,
         wrapped_batch_from_dict,
         wrapped_batch_to_dict,
     )
@@ -269,8 +270,9 @@ def test_wrapped_wire_fuzz_rejects_cleanly(toy_wrapped):
         mutate(lambda d: d["wrapper"].__setitem__("n_rows", 8)),
         mutate(lambda d: d["wrapper"].__setitem__("openings", [])),
         mutate(lambda d: d["wrapper"]["fri"].__setitem__("query_rounds", [])),
-        mutate(lambda d: w_pubs(d, "")),
-        mutate(lambda d: d["wrapper"].pop("public_inputs")),
+        # smuggling WRONG wrapper publics (the wire form carries none —
+        # the verifier derives them) must fail the equality check
+        mutate(lambda d: w_pubs(d, _recursion_pack([1, 2, 3]))),
         mutate(lambda d: d["statements"][0].__setitem__("trace_cap", "AAAA")),
     ]
     accepted = 0
