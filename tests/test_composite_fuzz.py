@@ -364,3 +364,66 @@ def test_plan_inner_rejects_two_free_sides():
     plan.inner(("free",), ("job", j))
     with pytest.raises(ValueError):
         plan.inner(("free",), ("free",))
+
+
+def test_parse_time_dos_bounds_reject_fast():
+    """A crafted blob claiming a huge lane count (or spamming signer
+    records) must be rejected in well under 100 ms — BEFORE the per-lane
+    native EC ladder replay that from_dict runs for every signer
+    (VERDICT r4 weak #2 / next-step #4). The structural format would
+    otherwise admit 2^20 lanes at ~2-3 ms of ladder work each."""
+    import time
+
+    from tendermintx_tpu.circuits.composite import MAX_ED_LANES, _pack_blobs
+
+    base = _fake_composite_dict("skip")
+
+    # huge claimed lane count
+    huge_b = dict(base)
+    huge_b["n_ed_segments"] = 1 << 20
+    t0 = time.perf_counter()
+    try:
+        CompositeProof.from_dict(huge_b)
+    except DESER_EXC:
+        pass
+    else:
+        raise AssertionError("huge-B blob accepted")
+    assert time.perf_counter() - t0 < 0.1
+
+    # just above the deployment max
+    over = dict(base)
+    over["n_ed_segments"] = 2 * MAX_ED_LANES
+    try:
+        CompositeProof.from_dict(over)
+    except DESER_EXC:
+        pass
+    else:
+        raise AssertionError("over-max-B blob accepted")
+
+    # lane count exceeding the claimed validator set
+    wide = dict(base)
+    wide["n_ed_segments"] = 64  # nb is 2 for the fuzz chain
+    try:
+        CompositeProof.from_dict(wide)
+    except DESER_EXC:
+        pass
+    else:
+        raise AssertionError("B > next_pow2(nb) accepted")
+
+    # many duplicate signer records: rejected by the strictly-increasing
+    # index rule before any ladder replay
+    spam = dict(base)
+    sig = bytes(64)
+    msg = b"m" * 32
+    spam["signers"] = _pack_blobs(
+        [(0).to_bytes(2, "little") + sig + msg] * 256
+    )
+    spam["n_ed_segments"] = 256
+    t0 = time.perf_counter()
+    try:
+        CompositeProof.from_dict(spam)
+    except DESER_EXC:
+        pass
+    else:
+        raise AssertionError("signer-spam blob accepted")
+    assert time.perf_counter() - t0 < 0.1
