@@ -107,18 +107,23 @@ def cmd_prove(args) -> int:
         from ..circuits.composite import (
             prove_skip_composite,
             prove_step_composite,
+            runtime_configs,
         )
 
+        base_cfg, wrap_cfg, _ = runtime_configs()
         if artifact.circuit == "step":
-            cp = prove_step_composite(prev_block, prev_hash, inputs)
+            cp = prove_step_composite(
+                prev_block, prev_hash, inputs, config=base_cfg
+            )
         else:
             cp = prove_skip_composite(
-                trusted_block, trusted_hash, target_block, inputs
+                trusted_block, trusted_hash, target_block, inputs,
+                config=base_cfg,
             )
         if getattr(args, "wrap", False):
             from ..circuits.composite import wrap_composite
 
-            cp = wrap_composite(cp)
+            cp = wrap_composite(cp, config=base_cfg, wrap_config=wrap_cfg)
             print("recursion-wrapped the composite (constant-size proof)")
         result["composite_proof"] = cp.to_dict()
         print(
@@ -149,6 +154,7 @@ def cmd_verify(args) -> int:
         # reference's gateway verifiedCall analog, TendermintX.sol:111-114).
         from ..circuits.composite import (
             CompositeProof,
+            runtime_configs,
             verify_skip_composite,
             verify_step_composite,
         )
@@ -161,14 +167,21 @@ def cmd_verify(args) -> int:
             print(f"composite proof: MALFORMED ({e!r})")
             return 1
         cfg = TendermintConfig(chain_id=result["chain"])
+        base_cfg, wrap_cfg, min_bits = runtime_configs()
         if cp.abi_inputs != input_bytes:
             print("composite proof: INPUT MISMATCH")
             return 1
         if cp.kind == "step":
-            out = verify_step_composite(cp, cfg.chain_id)
+            out = verify_step_composite(
+                cp, cfg.chain_id, config=base_cfg,
+                min_security_bits=min_bits, wrap_config=wrap_cfg,
+            )
             header = out[2] if out else None
         else:
-            out = verify_skip_composite(cp, cfg.chain_id, cfg.skip_max)
+            out = verify_skip_composite(
+                cp, cfg.chain_id, cfg.skip_max, config=base_cfg,
+                min_security_bits=min_bits, wrap_config=wrap_cfg,
+            )
             header = out[3] if out else None
         ok = out is not None and result["output"] == "0x" + header.hex()
         print(f"composite proof: {'OK' if ok else 'FAILED'}")

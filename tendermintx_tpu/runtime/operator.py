@@ -244,18 +244,23 @@ class TendermintXOperator:
         on a verified proof."""
         from ..circuits.composite import (
             prove_step_composite,
+            runtime_configs,
             verify_step_composite,
         )
 
+        base_cfg, wrap_cfg, min_bits = runtime_configs()
         inputs = self.fetcher.get_step_inputs(
             prev_block, prev_header, self.config.max_validators
         )
-        cp = prove_step_composite(prev_block, prev_header, inputs)
+        cp = prove_step_composite(prev_block, prev_header, inputs, config=base_cfg)
         if self.config.wrap_composite:
             from ..circuits.composite import wrap_composite
 
-            cp = wrap_composite(cp)
-        out = verify_step_composite(cp, self.tm_config.chain_id)
+            cp = wrap_composite(cp, config=base_cfg, wrap_config=wrap_cfg)
+        out = verify_step_composite(
+            cp, self.tm_config.chain_id, config=base_cfg,
+            min_security_bits=min_bits, wrap_config=wrap_cfg,
+        )
         if out is None:
             raise RuntimeError("composite step proof failed verification")
         self.last_composite = cp
@@ -266,19 +271,24 @@ class TendermintXOperator:
     ) -> bytes:
         from ..circuits.composite import (
             prove_skip_composite,
+            runtime_configs,
             verify_skip_composite,
         )
 
+        base_cfg, wrap_cfg, min_bits = runtime_configs()
         inputs = self.fetcher.get_skip_inputs(
             trusted_block, trusted_header, target_block, self.config.max_validators
         )
-        cp = prove_skip_composite(trusted_block, trusted_header, target_block, inputs)
+        cp = prove_skip_composite(
+            trusted_block, trusted_header, target_block, inputs, config=base_cfg
+        )
         if self.config.wrap_composite:
             from ..circuits.composite import wrap_composite
 
-            cp = wrap_composite(cp)
+            cp = wrap_composite(cp, config=base_cfg, wrap_config=wrap_cfg)
         out = verify_skip_composite(
-            cp, self.tm_config.chain_id, self.tm_config.skip_max
+            cp, self.tm_config.chain_id, self.tm_config.skip_max,
+            config=base_cfg, min_security_bits=min_bits, wrap_config=wrap_cfg,
         )
         if out is None:
             raise RuntimeError("composite skip proof failed verification")

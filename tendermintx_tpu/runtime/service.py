@@ -36,6 +36,7 @@ def default_prover(request: dict) -> dict:
     from ..circuits.composite import (
         prove_skip_composite,
         prove_step_composite,
+        runtime_configs,
         verify_skip_composite,
         verify_step_composite,
     )
@@ -49,26 +50,37 @@ def default_prover(request: dict) -> dict:
         fixture_path=request.get("fixture_path"),
     )
     cfg = TendermintConfig(chain_id=request["chain_id"])
+    base_cfg, wrap_cfg, min_bits = runtime_configs()
     input_bytes = bytes.fromhex(request["input"].removeprefix("0x"))
     maxv = int(request.get("max_validators", 128))
     if request["circuit"] == "step":
         prev_block, prev_hash = decode_step_input(input_bytes)
         inputs = fetcher.get_step_inputs(prev_block, prev_hash, maxv)
-        proof = prove_step_composite(prev_block, prev_hash, inputs)
+        proof = prove_step_composite(
+            prev_block, prev_hash, inputs, config=base_cfg
+        )
     else:
         t_block, t_hash, target = decode_skip_input(input_bytes)
         inputs = fetcher.get_skip_inputs(t_block, t_hash, target, maxv)
-        proof = prove_skip_composite(t_block, t_hash, target, inputs)
+        proof = prove_skip_composite(
+            t_block, t_hash, target, inputs, config=base_cfg
+        )
     if request.get("wrap"):
         # constant-size recursion-wrapped proof (stark/recursion.py);
         # wrapping re-checks every opening while building the witness
         from ..circuits.composite import wrap_composite
 
-        proof = wrap_composite(proof)
+        proof = wrap_composite(proof, config=base_cfg, wrap_config=wrap_cfg)
     if request["circuit"] == "step":
-        out = verify_step_composite(proof, cfg.chain_id)
+        out = verify_step_composite(
+            proof, cfg.chain_id, config=base_cfg,
+            min_security_bits=min_bits, wrap_config=wrap_cfg,
+        )
     else:
-        out = verify_skip_composite(proof, cfg.chain_id, cfg.skip_max)
+        out = verify_skip_composite(
+            proof, cfg.chain_id, cfg.skip_max, config=base_cfg,
+            min_security_bits=min_bits, wrap_config=wrap_cfg,
+        )
     if out is None:
         raise RuntimeError("proof failed independent verification")
     return {"proof": proof.to_dict(), "output": "0x" + out[-1].hex()}

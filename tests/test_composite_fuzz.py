@@ -99,13 +99,17 @@ def _real_pieces(kind: str):
         lanes = inputs.next_block_validators
         abi = (3).to_bytes(8, "big") + chain.headers[3].hash()
         out = inputs.next_header
+    from tendermintx_tpu.stark.ed25519_air import derive_lane_final
+
     signer_blobs = []
+    final_blobs = []
     for i, l in enumerate(lanes[:nb]):
         if l.signed:
-            signer_blobs.append(
-                i.to_bytes(2, "little")
-                + l.signature
-                + l.message[: l.message_byte_length]
+            msg = l.message[: l.message_byte_length]
+            signer_blobs.append(i.to_bytes(2, "little") + l.signature + msg)
+            fin = derive_lane_final(l.pubkey, msg, l.signature)
+            final_blobs.append(
+                b"".join(int(v).to_bytes(2, "little") for v in fin)
             )
     from tendermintx_tpu.circuits.composite import (
         _free_hash_data,
@@ -118,7 +122,7 @@ def _real_pieces(kind: str):
     res = (
         _pack_blobs(hash_data), _pack_blobs(hash_aunts),
         nb, nbt, _pack_blobs(signer_blobs),
-        abi.hex(), out.hex(), air.n_blocks,
+        abi.hex(), out.hex(), air.n_blocks, _pack_blobs(final_blobs),
     )
     _CACHED[kind] = res
     return res
@@ -126,11 +130,12 @@ def _real_pieces(kind: str):
 
 def _fake_composite_dict(kind: str = "skip") -> dict:
     (hash_data, hash_aunts, nb, nbt, signers, abi_hex, out_hex,
-     n_segments) = _real_pieces(kind)
+     n_segments, ed_finals) = _real_pieces(kind)
     B = 2
     return {
         "kind": f"{kind}-composite",
-        "version": 4,
+        "version": 5,
+        "ed_finals": ed_finals,
         "abi_inputs": abi_hex,
         "abi_output": out_hex,
         "round": 0,

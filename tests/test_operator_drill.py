@@ -96,3 +96,94 @@ def test_serve_submit_verify_sign_advance(tmp_path):
     bad.abi_output = bytes(32)
     assert verify_skip_composite(bad, CHAIN_ID, skip_max) is None
     assert contract2.latest_block() == 1
+
+
+def test_wrap_drill(tmp_path, monkeypatch):
+    """The drill with recursion-wrap on (VERDICT r4 next-step #5):
+    operator config `wrap_composite: true` -> prove, wrap, INDEPENDENTLY
+    verify the wrapped proof, sign, and advance the mock contract; a
+    tampered wrapped proof is rejected and the head does not move.
+    Reduced-security config via the runtime env knobs (CPU tier); the
+    production wrap config is exercised by bench.py on the TPU."""
+    from tendermintx_tpu.circuits.composite import (
+        CompositeProof,
+        verify_skip_composite,
+    )
+    from tendermintx_tpu.inputs.fetcher import InputDataFetcher, InputDataMode
+    from tendermintx_tpu.inputs.testchain import TestChain
+    from tendermintx_tpu.runtime.operator import (
+        MockContract,
+        OperatorConfig,
+        TendermintXOperator,
+    )
+    from tendermintx_tpu.runtime.signer import EthSubmitter
+    from tendermintx_tpu.stark.prover import StarkConfig
+
+    monkeypatch.setenv("TMX_FRI_CONFIG", "3,6,64,4")
+    monkeypatch.setenv("TMX_WRAP_FRI_CONFIG", "3,6,32,2")
+    monkeypatch.setenv("TMX_MIN_SECURITY_BITS", "20")
+
+    chain = TestChain(n_validators=2, chain_id=CHAIN_ID)
+    for _ in range(3):
+        chain.extend()
+    chain.write_fixtures(str(tmp_path))
+    f = InputDataFetcher(fixture_path=str(tmp_path), mode=InputDataMode.FIXTURE)
+
+    cfg = OperatorConfig(
+        chain_id=CHAIN_ID,
+        max_validators=2,
+        fixture_path=str(tmp_path),
+        prove_composite=True,
+        wrap_composite=True,
+    )
+    contract = MockContract(1, chain.headers[1].hash())
+    op = TendermintXOperator(cfg, contract=contract, fetcher=f)
+    result = op.tick(chain_tip=4)
+    assert result == ("skip", 4)
+    assert contract.latest_block() == 4
+    assert contract.header_hash(4) == chain.headers[4].hash()
+    assert op.last_composite is not None and op.last_composite.is_wrapped
+
+    # the retained wrapped proof round-trips the wire and verifies
+    # standalone under the same reduced config
+    vcfg = StarkConfig(
+        rate_bits=3, n_queries=6, final_poly_len=64, proof_of_work_bits=4
+    )
+    wcfg = StarkConfig(
+        rate_bits=3, n_queries=6, final_poly_len=32, proof_of_work_bits=2
+    )
+    args = dict(config=vcfg, min_security_bits=20, wrap_config=wcfg)
+    reparsed = CompositeProof.from_bytes(op.last_composite.to_bytes())
+    verified = verify_skip_composite(reparsed, CHAIN_ID, 100_800, **args)
+    assert verified == (1, chain.headers[1].hash(), 4, chain.headers[4].hash())
+
+    # signer write path: the wrapped proof's ABI input rides the signed tx
+    sent = {}
+
+    class MockRpc:
+        def call(self, method, params):
+            if method == "eth_getTransactionCount":
+                return "0x0"
+            if method == "eth_gasPrice":
+                return "0x3b9aca00"
+            if method == "eth_sendRawTransaction":
+                sent["raw"] = params[0]
+                return "0x" + "cd" * 32
+            raise AssertionError(method)
+
+    submitter = EthSubmitter(MockRpc(), "0x" + "11" * 32, chain_id=5)
+    tx = submitter.submit(
+        "0x" + "22" * 20, "0x" + reparsed.abi_inputs.hex()
+    )
+    assert tx == "0x" + "cd" * 32
+    assert reparsed.abi_inputs in bytes.fromhex(sent["raw"].removeprefix("0x"))
+
+    # tampered wrapped proofs: rejected, head unchanged
+    contract2 = MockContract(1, chain.headers[1].hash())
+    bad = copy.deepcopy(op.last_composite)
+    bad.abi_output = bytes(32)
+    assert verify_skip_composite(bad, CHAIN_ID, 100_800, **args) is None
+    bad = copy.deepcopy(op.last_composite)
+    bad.batch.wrapper.public_inputs[3] ^= 1
+    assert verify_skip_composite(bad, CHAIN_ID, 100_800, **args) is None
+    assert contract2.latest_block() == 1

