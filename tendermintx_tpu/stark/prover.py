@@ -679,7 +679,10 @@ def _prove_statement(
         assert all(len(col) == n for col in pcols)
         arr = np.zeros((len(pcols), n), dtype=np.uint64)
         for i, col in enumerate(pcols):
-            arr[i] = [v % P for v in col]
+            if isinstance(col, np.ndarray):  # already reduced (evalair)
+                arr[i] = col
+            else:
+                arr[i] = [v % P for v in col]
         pc_gf = GF(
             jnp.asarray((arr & 0xFFFFFFFF).astype(np.uint32)),
             jnp.asarray((arr >> np.uint64(32)).astype(np.uint32)),

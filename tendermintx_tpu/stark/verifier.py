@@ -68,13 +68,45 @@ def check_statement(
     challenger: Challenger,
     shift: int,
 ):
-    """Replay one statement's transcript against a caller-owned challenger
-    and check its OOD composition identity. `proof` is anything with the
-    StarkProof statement fields (batch.StatementProof qualifies). Returns
-    `eval_at(idx) -> ext | None` — the recomputed DEEP codeword value at
-    LDE index `idx` from the statement's Merkle-verified openings — or
-    None if the statement is malformed/inconsistent. Both `verify` and
-    `batch.verify_batch` are built on this."""
+    """Replay one statement's transcript and check its OOD composition
+    identity natively: replay_statement + ood_identity. Returns the ctx's
+    `eval_at` (see replay_statement) or None. Both `verify` and
+    `batch.verify_batch` are built on this; the recursion-wrapped path
+    instead uses replay_statement alone and proves the identity in-circuit
+    (stark/evalair.py)."""
+    ctx = replay_statement(air, proof, config, challenger, shift)
+    if ctx is None or not ood_identity(air, proof, ctx):
+        return None
+    return ctx.eval_at
+
+
+class ReplayCtx:
+    """Everything the transcript replay of one statement establishes:
+    challenges, OOD frame values, per-group zerofier inverses, periodic and
+    public-column evaluations at z — the inputs both the native OOD check
+    (ood_identity) and the in-circuit one (evalair.assemble_inputs)
+    consume — plus `eval_at`, the DEEP layer-0 recomputation hook FRI uses
+    on opened rows."""
+
+    __slots__ = (
+        "eval_at", "alpha", "beta", "z", "g0s", "challenge_components",
+        "ood_trace", "ood_quotient", "public_inputs", "periodic_at_z",
+        "public_cols_at_z", "zinvs", "z_pows_n", "n_rows",
+    )
+
+
+def replay_statement(
+    air: Air,
+    proof,
+    config: StarkConfig,
+    challenger: Challenger,
+    shift: int,
+) -> "ReplayCtx | None":
+    """Structural checks + Fiat-Shamir replay for one statement against a
+    caller-owned challenger. `proof` is anything with the StarkProof
+    statement fields (batch.StatementProof qualifies). Returns a ReplayCtx
+    or None on malformed input. Does NOT evaluate the constraint system —
+    callers follow with ood_identity (native) or prove it in-circuit."""
     n = proof.n_rows
     log_n = n.bit_length() - 1
     if 1 << log_n != n:
@@ -127,7 +159,7 @@ def check_statement(
     g_trace = nttmod.primitive_root_of_unity(log_n)
     g_last = pow(g_trace, n - 1, P)
 
-    # --- OOD composition identity ---
+    # --- everything the OOD identity consumes, natively or in-circuit ---
     # periodic columns: evaluate each pattern's interpolant at z^(n/p)
     from .prover import periodic_interpolant
 
@@ -141,7 +173,7 @@ def check_statement(
         acc = (0, 0)
         for c in reversed(coeffs):
             acc = ext_add(ext_mul(acc, z_pow), (c % P, 0))
-        periodic_at_z.append(HostFelt(acc))
+        periodic_at_z.append(acc)
 
     # public columns: interpolate each full-length column at z. Small AIRs
     # go through the host iNTT; wide schedules (the recursive wrapper's ~70
@@ -154,20 +186,12 @@ def check_statement(
     else:
         public_cols_at_z = []
         for col in pub_cols:
-            coeffs = periodic_interpolant(tuple(v % P for v in col))
+            coeffs = periodic_interpolant(tuple(int(v) % P for v in col))
             acc = (0, 0)
             for c in reversed(coeffs):
                 acc = ext_add(ext_mul(acc, z), (c % P, 0))
-            public_cols_at_z.append(HostFelt(acc))
+            public_cols_at_z.append(acc)
 
-    frame = Frame(
-        rows=[[HostFelt(tuple(v)) for v in per] for per in proof.ood_trace],
-        public=[HostFelt((v % P, 0)) for v in proof.public_inputs],
-        periodic=periodic_at_z,
-        public_cols=public_cols_at_z,
-        challenges=[HostFelt((c % P, 0)) for ch in challenges for c in ch],
-    )
-    alg = HostAlgebra()
     z_pow_n = ext_pow(z, n)
     zh = ext_sub(z_pow_n, (1, 0))  # z^n - 1
     zh_inv = ext_inv(zh)
@@ -175,25 +199,21 @@ def check_statement(
     zinv_first = ext_inv(ext_sub(z, (1, 0)))
     zinv_last = ext_inv(ext_sub(z, (g_last, 0)))
 
-    groups = [
-        ("first", air.eval_first(frame, alg), zinv_first),
-        ("transition", air.eval_transition(frame, alg), zinv_transition),
-        ("cyclic", air.eval_cyclic(frame, alg), zh_inv),
-        ("last", air.eval_last(frame, alg), zinv_last),
-    ]
-    lhs = (0, 0)
-    a_pow = (1, 0)
-    for _, constraints, zi in groups:
-        for c in flatten_host_constraints(constraints):
-            lhs = ext_add(lhs, ext_mul(a_pow, ext_mul(c.v, zi)))
-            a_pow = ext_mul(a_pow, alpha)
-    rhs = (0, 0)
-    for j in range(n_chunks):
-        rhs = ext_add(
-            rhs, ext_mul(ext_pow(z, n * j), tuple(proof.ood_quotient[j]))
-        )
-    if lhs != rhs:
-        return None
+    ctx = ReplayCtx()
+    ctx.n_rows = n
+    ctx.alpha = alpha
+    ctx.beta = beta
+    ctx.z = z
+    ctx.challenge_components = [c % P for ch in challenges for c in ch]
+    ctx.ood_trace = [[tuple(v) for v in per] for per in proof.ood_trace]
+    ctx.ood_quotient = [tuple(v) for v in proof.ood_quotient]
+    ctx.public_inputs = [int(v) % P for v in proof.public_inputs]
+    ctx.periodic_at_z = periodic_at_z
+    ctx.public_cols_at_z = public_cols_at_z
+    # zerofier-inverse order matches the constraint-group order
+    ctx.zinvs = (zinv_first, zinv_transition, zh_inv, zinv_last)
+    # z^(n*j) for the quotient recombination rhs
+    ctx.z_pows_n = [ext_pow(z, n * j) for j in range(n_chunks)]
 
     # --- DEEP layer-0 recomputation hook for FRI ---
     # beta powers in prover order: padded-section layout (see
@@ -264,7 +284,41 @@ def check_statement(
     eval_at.beta = beta
     eval_at.z = z
     eval_at.g0s = [gi[2] for gi in group_info]
-    return eval_at
+    ctx.g0s = eval_at.g0s
+    ctx.eval_at = eval_at
+    return ctx
+
+
+def ood_identity(air: Air, proof, ctx: "ReplayCtx") -> bool:
+    """The native OOD composition check: run the full constraint system at
+    z (host ints) and compare the alpha-Horner combination against the
+    shipped quotient evaluations. The recursion-wrapped verifier skips this
+    and verifies the same computation as an EvalAir statement instead
+    (stark/evalair.py)."""
+    frame = Frame(
+        rows=[[HostFelt(v) for v in per] for per in ctx.ood_trace],
+        public=[HostFelt((v, 0)) for v in ctx.public_inputs],
+        periodic=[HostFelt(v) for v in ctx.periodic_at_z],
+        public_cols=[HostFelt(v) for v in ctx.public_cols_at_z],
+        challenges=[HostFelt((c, 0)) for c in ctx.challenge_components],
+    )
+    alg = HostAlgebra()
+    groups = [
+        (air.eval_first(frame, alg), ctx.zinvs[0]),
+        (air.eval_transition(frame, alg), ctx.zinvs[1]),
+        (air.eval_cyclic(frame, alg), ctx.zinvs[2]),
+        (air.eval_last(frame, alg), ctx.zinvs[3]),
+    ]
+    lhs = (0, 0)
+    a_pow = (1, 0)
+    for constraints, zi in groups:
+        for c in flatten_host_constraints(constraints):
+            lhs = ext_add(lhs, ext_mul(a_pow, ext_mul(c.v, zi)))
+            a_pow = ext_mul(a_pow, ctx.alpha)
+    rhs = (0, 0)
+    for j, oq in enumerate(ctx.ood_quotient):
+        rhs = ext_add(rhs, ext_mul(ctx.z_pows_n[j], oq))
+    return lhs == rhs
 
 
 def _public_cols_at_z_device(pub_cols, z, n: int):
@@ -286,7 +340,10 @@ def _public_cols_at_z_device(pub_cols, z, n: int):
     k = len(pub_cols)
     arr = np.zeros((k, n), dtype=np.uint64)
     for i, col in enumerate(pub_cols):
-        arr[i] = [int(v) % P for v in col]
+        if isinstance(col, np.ndarray):  # already reduced (evalair schedule)
+            arr[i] = col
+        else:
+            arr[i] = [int(v) % P for v in col]
 
     def run():
         cols_lo = jnp.asarray((arr & 0xFFFFFFFF).astype(np.uint32))
@@ -306,4 +363,4 @@ def _public_cols_at_z_device(pub_cols, z, n: int):
             v0, v1 = run()
     except RuntimeError:  # no separate cpu backend registered
         v0, v1 = run()
-    return [HostFelt((int(v0[0][i]), int(v1[0][i]))) for i in range(k)]
+    return [(int(v0[0][i]), int(v1[0][i])) for i in range(k)]
