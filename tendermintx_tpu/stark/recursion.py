@@ -16,19 +16,27 @@ Split of labor (soundness):
   * The OUTER verifier (verify_wrapped_batch) natively replays the shared
     Fiat-Shamir transcript over the small wire data — statement publics,
     commitment caps, OOD values, FRI layer caps, final poly, grinding
-    nonce — checks each statement's OOD composition identity at z (the
-    constraint evaluation, host ints), and derives every challenge and
-    query index. All of this is O(proof-header), independent of N.
+    nonce — and derives every challenge and query index. All of this is
+    O(proof-header), independent of N. It evaluates NO wrapped statement's
+    constraint system.
   * The WRAPPER STARK proves the part whose wire cost scaled with trace
     width x query count: openings hash to the caps, the DEEP codeword
     values recomputed from those openings feed FRI fold equations that
     terminate in the final polynomial, at exactly the transcript-sampled
     query indices.
-  * The outer verifier reassembles the wrapper's expected public-input
-    vector (caps ‖ per-statement beta/z/G0 ‖ FRI caps/lambdas/betas ‖
-    query indices ‖ final values) from its own transcript replay and
-    rejects unless the wrapper proof's publics match bit-exactly, then
-    verifies the wrapper proof with the ordinary STARK verifier.
+  * The EVALAIR STARK (stark/evalair.py, phase B1) proves each wrapped
+    statement's OOD composition identity at z — the full constraint
+    systems, the alpha-Horner combination, the quotient recombination —
+    as the execution of a static op tape on verifier-derived inputs.
+  * The outer verifier reassembles BOTH statements' expected public-input
+    vectors (wrapper: caps ‖ per-statement beta/z/G0 ‖ FRI caps/lambdas/
+    betas ‖ query indices ‖ final values; evaluator: OOD values ‖
+    periodic/public-column evaluations at z ‖ challenges/alpha/zerofier
+    inverses) from its own transcript replay, rejects unless the proofs'
+    publics match bit-exactly, then verifies the two-statement wrap batch
+    with the ordinary batch-STARK verifier. The native constraint work
+    that remains is WrapAir's and EvalAir's own fixed systems — the
+    recursion's constant trust root.
 
 Wrapper AIR layout — ONE Poseidon permutation per row:
 
@@ -1127,15 +1135,17 @@ class WrapAir(Air):
 
 @dataclass
 class WrappedBatchProof:
-    """A BatchStarkProof with openings and FRI query rounds replaced by one
-    wrapper STARK. Everything remaining is independent of the wrapped
-    statements' trace sizes."""
+    """A BatchStarkProof with openings and FRI query rounds replaced by a
+    two-statement wrap batch: the WrapAir query-phase proof and the
+    EvalAir OOD-evaluation proof (stark/evalair.py — recursion phase B1),
+    sharing one transcript and one FRI. Everything remaining is
+    independent of the wrapped statements' trace sizes."""
 
     statements: list  # batch.StatementProof, openings == {}
     layer_caps: list
     final_poly: list
     pow_nonce: int
-    wrapper: object  # prover.StarkProof for WrapAir
+    wrapper: object  # batch.BatchStarkProof for [WrapAir, EvalAir]
 
 
 def _final_values(shape: WrapShape, final_poly, query_indices):
@@ -1183,14 +1193,16 @@ def wrap_batch(
     wrap_config=None,
     mesh=None,
 ):
-    """Prove the wrapper STARK for a (valid) BatchStarkProof and return the
-    WrappedBatchProof. Raises ValueError if the input proof does not verify
-    — the witness walk re-checks every digest, fold and final value."""
-    from .batch import BatchStarkProof  # noqa: F401 (type documentation)
+    """Prove the wrap batch ([WrapAir, EvalAir]) for a (valid)
+    BatchStarkProof and return the WrappedBatchProof. Raises ValueError if
+    the input proof does not verify — the witness walk re-checks every
+    digest, fold and final value, and the eval tape reaches its asserted
+    zeros only on a sound OOD identity."""
+    from .batch import prove_batch
     from .challenger import Challenger
+    from .evalair import EvalAir, assemble_inputs, tape_for
     from .fri import fri_replay_batch
-    from .prover import prove
-    from .verifier import check_statement
+    from .verifier import ood_identity, replay_statement
 
     if wrap_config is None:
         wrap_config = default_wrap_config()
@@ -1199,13 +1211,14 @@ def wrap_batch(
         challenger.observe_elements(transcript_seed)
     sizes = [st.n_rows << config.rate_bits for st in proof.statements]
     n_max = max(sizes)
-    evals = []
+    ctxs = []
     for air, stmt, N_i in zip(airs, proof.statements, sizes):
         shift_i = pow(config.shift, n_max // N_i, P)
-        e = check_statement(air, stmt, config, challenger, shift_i)
-        if e is None:
+        ctx = replay_statement(air, stmt, config, challenger, shift_i)
+        if ctx is None or not ood_identity(air, stmt, ctx):
             raise ValueError("statement fails transcript/OOD checks")
-        evals.append(e)
+        ctxs.append(ctx)
+    evals = [ctx.eval_at for ctx in ctxs]
     replay = fri_replay_batch(proof.fri_proof, sizes, challenger, config.fri)
     if replay is None:
         raise ValueError("batch FRI replay fails")
@@ -1226,7 +1239,19 @@ def wrap_batch(
     # the witness walk's schedule IS the public-column walk — prime the
     # cache so prove() does not re-run it
     air_w._pub_cache[tuple(publics)] = walk
-    wrapper = prove(air_w, trace, publics, wrap_config, mesh=mesh)
+
+    # EvalAir statement: the three statements' OOD identities, in-circuit
+    # (recursion phase B1 — the verifier stops evaluating the wrapped
+    # constraint systems natively)
+    tape = tape_for(airs)
+    air_e = EvalAir(tape)
+    e_inputs = assemble_inputs(tape, ctxs)
+    e_trace = air_e.witness_trace(e_inputs)
+
+    wrapper = prove_batch(
+        [air_w, air_e], [trace, e_trace], [publics, e_inputs],
+        wrap_config, mesh=mesh,
+    )
 
     from dataclasses import replace as _dc_replace
 
@@ -1277,9 +1302,11 @@ def verify_wrapped_batch(
 def _verify_wrapped_inner(
     airs, wrapped, config, transcript_seed, wrap_config
 ) -> bool:
+    from .batch import BatchStarkProof, verify_batch
     from .challenger import Challenger
+    from .evalair import EvalAir, assemble_inputs, tape_for
     from .fri import FriProof, fri_replay_batch
-    from .verifier import check_statement, verify
+    from .verifier import replay_statement
 
     if wrap_config is None:
         wrap_config = default_wrap_config()
@@ -1298,13 +1325,16 @@ def _verify_wrapped_inner(
             return False
         sizes.append(n << config.rate_bits)
     n_max = max(sizes)
-    evals = []
+    # transcript replay ONLY — the OOD identities are proven by the
+    # EvalAir statement below, never natively evaluated here (phase B1)
+    ctxs = []
     for air, stmt, N_i in zip(airs, wrapped.statements, sizes):
         shift_i = pow(config.shift, n_max // N_i, P)
-        e = check_statement(air, stmt, config, challenger, shift_i)
-        if e is None:
+        ctx = replay_statement(air, stmt, config, challenger, shift_i)
+        if ctx is None:
             return False
-        evals.append(e)
+        ctxs.append(ctx)
+    evals = [ctx.eval_at for ctx in ctxs]
     fri_like = FriProof(
         layer_caps=[list(c) for c in wrapped.layer_caps],
         final_poly=[tuple(c) for c in wrapped.final_poly],
@@ -1321,20 +1351,33 @@ def _verify_wrapped_inner(
         shape, wrapped.statements, wrapped.layer_caps, wrapped.final_poly,
         evals, lambdas, layer_betas, query_indices,
     )
-    expected = build_publics(shape, pub)
-    wp = wrapped.wrapper
-    if int(wp.n_rows) != wrap_n_rows(shape):
-        return False
-    if wp.public_inputs:
-        # in-memory proof objects still carry the prover's publics —
-        # they must agree with the verifier-derived vector
-        if [int(v) for v in wp.public_inputs] != expected:
-            return False
-    else:
-        # wire form (serialize.wrapped_batch_to_dict): the wrapper's
-        # publics never ship; verify against the derived vector, which is
-        # strictly the verifier's own statement of what must be proven
-        from dataclasses import replace as _dc_replace
+    tape = tape_for(airs)
+    air_e = EvalAir(tape)
+    # expected publics for BOTH wrap-batch statements, fully
+    # verifier-derived — the wire never ships either vector
+    expected = [build_publics(shape, pub), assemble_inputs(tape, ctxs)]
 
-        wp = _dc_replace(wp, public_inputs=expected)
-    return verify(WrapAir(shape), wp, wrap_config)
+    wb = wrapped.wrapper
+    if not isinstance(wb, BatchStarkProof) or len(wb.statements) != 2:
+        return False
+    if int(wb.statements[0].n_rows) != wrap_n_rows(shape):
+        return False
+    if int(wb.statements[1].n_rows) != tape.n_rows:
+        return False
+    from dataclasses import replace as _dc_replace
+
+    stmts = []
+    for st, exp in zip(wb.statements, expected):
+        if st.public_inputs:
+            # in-memory proof objects still carry the prover's publics —
+            # they must agree with the verifier-derived vector
+            if [int(v) for v in st.public_inputs] != exp:
+                return False
+            stmts.append(st)
+        else:
+            # wire form (serialize.wrapped_batch_to_dict): the publics
+            # never ship; verify against the derived vector, which is
+            # strictly the verifier's own statement of what must be proven
+            stmts.append(_dc_replace(st, public_inputs=exp))
+    wb = BatchStarkProof(statements=stmts, fri_proof=wb.fri_proof)
+    return verify_batch([WrapAir(shape), air_e], wb, wrap_config)

@@ -371,8 +371,9 @@ def stark_proof_from_dict_packed(d: dict) -> StarkProof:
 
 def wrapped_batch_to_dict(w, publics_flags: list[bool] | None = None) -> dict:
     """recursion.WrappedBatchProof -> dict. The statements carry NO
-    openings and the FRI data NO query rounds — the wrapper proof stands
-    in for both (recursion.py module docstring)."""
+    openings and the FRI data NO query rounds — the wrap batch (WrapAir
+    query-phase proof + EvalAir OOD-evaluation proof) stands in for both
+    (recursion.py module docstring)."""
     flags = publics_flags or [True] * len(w.statements)
     return {
         "wrapped": True,
@@ -383,10 +384,12 @@ def wrapped_batch_to_dict(w, publics_flags: list[bool] | None = None) -> dict:
         "layer_caps": [_pack_cap(c) for c in w.layer_caps],
         "final_poly": _pack_exts(w.final_poly),
         "pow_nonce": str(int(w.pow_nonce)),
-        # the wrapper's public-input vector is fully verifier-derived
-        # (recursion.verify_wrapped_batch rebuilds it from the wire header
-        # and the transcript), so it never ships — ~25-35 KB saved
-        "wrapper": stark_proof_to_dict_packed(w.wrapper, include_publics=False),
+        # both wrap-batch statements' public-input vectors are fully
+        # verifier-derived (recursion.verify_wrapped_batch rebuilds them
+        # from the wire header and the transcript), so they never ship
+        "wrapper": batch_proof_to_dict(
+            w.wrapper, publics_flags=[False] * len(w.wrapper.statements)
+        ),
     }
 
 
@@ -405,10 +408,23 @@ def wrapped_batch_from_dict(d: dict, publics_list: list | None = None):
     for st in statements:
         if st.openings:
             raise ValueError("wrapped statement must not carry openings")
+    wrapper_d = d["wrapper"]
+    if len(wrapper_d.get("statements", ())) != 2:
+        raise ValueError("wrap batch must have exactly 2 statements")
     return WrappedBatchProof(
         statements=statements,
         layer_caps=[_unpack_cap(c) for c in d["layer_caps"]],
         final_poly=_unpack_exts(d["final_poly"]),
         pow_nonce=_felt(d.get("pow_nonce", 0)),
-        wrapper=stark_proof_from_dict_packed(d["wrapper"]),
+        # publics are omitted on the wire ([] placeholder -> the verifier
+        # substitutes its own derived vectors); a dict that SMUGGLES
+        # publics is parsed as-is so the verifier's equality check can
+        # reject a mismatch
+        wrapper=batch_proof_from_dict(
+            wrapper_d,
+            publics_list=[
+                None if "public_inputs" in sd else []
+                for sd in wrapper_d["statements"]
+            ],
+        ),
     )

@@ -102,7 +102,7 @@ def test_wrapped_composite_tamper_rejected(wrapped_proof):
     assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX, **args) is None
 
     bad = copy.deepcopy(wrapped)
-    bad.batch.wrapper.public_inputs[3] ^= 1
+    bad.batch.wrapper.statements[0].public_inputs[3] ^= 1
     assert verify_skip_composite(bad, CHAIN_ID, SKIP_MAX, **args) is None
 
     bad = copy.deepcopy(wrapped)
@@ -139,7 +139,7 @@ def test_wrapped_step_composite():
     assert out == (3, prev, inputs.next_header)
     # tamper: a wrapper cap bit flips -> reject
     bad = copy.deepcopy(proof2)
-    bad.batch.wrapper.trace_cap[0][0] ^= 1
+    bad.batch.wrapper.statements[0].trace_cap[0][0] ^= 1
     assert verify_step_composite(
         bad, CHAIN_ID, config=CFG,
         min_security_bits=MIN_BITS, wrap_config=WRAP_CFG,

@@ -184,7 +184,8 @@ def test_wrap_rejects_tampered_wrapper_publics(toy_wrapped):
 
     airs, _proof, wrapped = toy_wrapped
     bad = copy.deepcopy(wrapped)
-    bad.wrapper.public_inputs[0] = (bad.wrapper.public_inputs[0] + 1) % P
+    pub = bad.wrapper.statements[0].public_inputs
+    pub[0] = (pub[0] + 1) % P
     assert not verify_wrapped_batch(
         airs, bad, CFG, transcript_seed=SEED, wrap_config=WRAP_CFG
     )
@@ -255,7 +256,7 @@ def test_wrapped_wire_fuzz_rejects_cleanly(toy_wrapped):
         return d
 
     def w_pubs(d, v):
-        d["wrapper"]["public_inputs"] = v
+        d["wrapper"]["statements"][0]["public_inputs"] = v
 
     cases = [
         mutate(lambda d: d.pop("layer_caps")),
@@ -267,8 +268,11 @@ def test_wrapped_wire_fuzz_rejects_cleanly(toy_wrapped):
         mutate(lambda d: d["statements"][0].__setitem__("n_rows", 3)),
         mutate(lambda d: d["statements"][0].__setitem__("n_rows", -64)),
         mutate(lambda d: d["statements"][1].__setitem__("ood_trace", [])),
-        mutate(lambda d: d["wrapper"].__setitem__("n_rows", 8)),
-        mutate(lambda d: d["wrapper"].__setitem__("openings", [])),
+        mutate(lambda d: d["wrapper"]["statements"][0].__setitem__("n_rows", 8)),
+        mutate(lambda d: d["wrapper"]["statements"][1].__setitem__("n_rows", 8)),
+        mutate(lambda d: d["wrapper"]["statements"][0].__setitem__("openings", [])),
+        mutate(lambda d: d["wrapper"]["statements"][1].__setitem__("openings", [])),
+        mutate(lambda d: d["wrapper"]["statements"].pop()),
         mutate(lambda d: d["wrapper"]["fri"].__setitem__("query_rounds", [])),
         # smuggling WRONG wrapper publics (the wire form carries none —
         # the verifier derives them) must fail the equality check
