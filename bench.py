@@ -448,7 +448,9 @@ def main():
         if _phase(f"composite_n{_N}_cold", 1500, cb.cold):
             _phase(f"composite_n{_N}_warm", 420, cb.warm)
             if do_wrap:
-                _phase(f"composite_n{_N}_wrap", 900, cb.wrap)
+                # first wrap pays WrapAir + EvalAir compiles (recursion
+                # phase B1 doubled the wrap batch)
+                _phase(f"composite_n{_N}_wrap", 1200, cb.wrap)
     else:
         EXTRAS[f"composite_n{_N}_skipped"] = "budget"
 

@@ -916,10 +916,11 @@ def _verify_batch_and_common(
     ]
     seed = _seed_felts(proof.abi_inputs, proof.abi_output)
     if isinstance(proof.batch, WrappedBatchProof):
-        # Recursion-wrapped: native transcript/OOD replay + ONE wrapper
-        # STARK standing in for every opening (stark/recursion.py). The
-        # wrapper config is the VERIFIER'S choice, never the proof's, and
-        # it must meet the same security floor as the base config.
+        # Recursion-wrapped: native transcript replay + the two-statement
+        # wrap batch (WrapAir for every opening/fold, EvalAir for every
+        # OOD constraint evaluation — stark/recursion.py). The wrapper
+        # config is the VERIFIER'S choice, never the proof's, and it must
+        # meet the same security floor as the base config.
         from ..stark.recursion import default_wrap_config
 
         wcfg = wrap_config or default_wrap_config()
