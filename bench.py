@@ -395,6 +395,57 @@ class _CompositeBench:
         EXTRAS[f"n{self.n}_wrapped_proof_gz_bytes"] = len(wrapped.to_bytes())
 
 
+def _composite_group(n: int, do_wrap: bool) -> None:
+    """cold -> warm -> wrap phases for one validator-set size."""
+    cb = _CompositeBench(n)
+    if _phase(f"composite_n{n}_cold", 2100 if n >= 100 else 1500, cb.cold):
+        _phase(f"composite_n{n}_warm", 600, cb.warm)
+        if do_wrap:
+            # first wrap pays WrapAir + EvalAir compiles (recursion
+            # phase B1 doubled the wrap batch)
+            _phase(f"composite_n{n}_wrap", 1500, cb.wrap)
+
+
+def _run_group_subprocess(n: int, budget: float) -> None:
+    """Run one composite group in a FRESH bench process with its own HBM:
+    the N=128 statement set needs most of the 16 GB chip, and a process
+    that already holds earlier phases' device allocations OOMs it
+    (BENCH round-5 first run: RESOURCE_EXHAUSTED). The child re-emits the
+    cumulative record per phase; the parent merges the LAST parseable
+    line's extras, so even a killed child loses only its in-flight step."""
+    env = dict(os.environ)
+    env["TMX_BENCH_ONLY"] = str(n)
+    env["TMX_BENCH_BUDGET"] = str(int(budget))
+    out = ""
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=budget + 120,
+        )
+        out = r.stdout or ""
+    except subprocess.TimeoutExpired as e:
+        so = e.stdout
+        out = so.decode() if isinstance(so, bytes) else (so or "")
+        EXTRAS[f"composite_n{n}_group_timeout_s"] = round(budget + 120)
+    except Exception as e:  # noqa: BLE001
+        EXTRAS[f"composite_n{n}_group_error"] = repr(e)[:300]
+    last = None
+    for line in out.splitlines():
+        try:
+            parsed = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(parsed, dict) and isinstance(parsed.get("extras"), dict):
+            last = parsed
+    if last is not None:
+        for k, v in last["extras"].items():
+            if k not in ("backend", "elapsed_s"):
+                EXTRAS[k] = v
+    else:
+        EXTRAS[f"composite_n{n}_group_no_record"] = out[-200:] or "no output"
+    _emit()
+
+
 def main():
     # Global deadline: whatever the main thread is stuck in, the record is
     # emitted and the process exits rc=0 before the driver's kill window.
@@ -406,6 +457,15 @@ def main():
     killer = threading.Timer(max(BUDGET - 30, 60), _deadline)
     killer.daemon = True
     killer.start()
+
+    do_wrap = bool(int(os.environ.get("TMX_BENCH_WRAP", "1")))
+
+    # child mode: one composite group only (fresh-HBM isolation)
+    only = os.environ.get("TMX_BENCH_ONLY")
+    if only:
+        _composite_group(int(only), do_wrap)
+        _emit()
+        os._exit(0)
 
     # Probe the Pallas kernel EAGERLY before anything traces: inside jit
     # the probe defers (ops/poseidon_pallas.available), so without this
@@ -435,37 +495,29 @@ def main():
     _phase("ntt", 420, lambda: EXTRAS.__setitem__("ntt_felts_per_s", round(bench_ntt(), 1)))
     _phase("merkle", 420, lambda: EXTRAS.__setitem__("merkle_leaves_per_s", round(bench_merkle(), 1)))
 
-    do_wrap = bool(int(os.environ.get("TMX_BENCH_WRAP", "1")))
-
-    # The dev shape: cold (every per-process XLA compile — the remote-TPU
-    # backend cannot reuse the persistent cache across processes), then
-    # warm (a SECOND height with all programs compiled — the steady-state
-    # latency of a long-running prover, the deployment shape: `serve`
-    # keeps one process resident, and the reference's own 4-10 min figure
-    # is likewise a warm hosted service, README.md:90), then the wrapper.
+    # Composite groups run in FRESH child processes (their own HBM — see
+    # _run_group_subprocess). The dev shape: cold (every per-process XLA
+    # compile), warm (a SECOND height with all programs compiled — the
+    # steady-state latency of a long-running prover, the deployment shape:
+    # `serve` keeps one process resident, and the reference's own 4-10 min
+    # figure is likewise a warm hosted service, README.md:90), then wrap.
+    n128_on = bool(int(os.environ.get("TMX_BENCH_N128", "1")))
     if _left() > 300:
-        cb = _CompositeBench(_N)
-        if _phase(f"composite_n{_N}_cold", 1500, cb.cold):
-            _phase(f"composite_n{_N}_warm", 420, cb.warm)
-            if do_wrap:
-                # first wrap pays WrapAir + EvalAir compiles (recursion
-                # phase B1 doubled the wrap batch)
-                _phase(f"composite_n{_N}_wrap", 1200, cb.wrap)
+        # reserve roughly half the remainder for the north-star N=128 group
+        b32 = _left() - 60
+        if n128_on:
+            b32 = min(b32, max(_left() * 0.5, _left() - 3000))
+        _run_group_subprocess(_N, b32)
     else:
         EXTRAS[f"composite_n{_N}_skipped"] = "budget"
 
     # The north-star shape: N=128 (beyond the reference's N=100 production
     # max, /root/reference/circuits/consts.rs:4). Its trace shapes differ
-    # from N=32 (128 Ed25519 lanes, 4x hash segments), so this phase pays
-    # its own compiles; the wrapper shapes are shared with the N=32 wrap,
-    # so its wrap number is the warm one (VERDICT r3 next-step #2).
-    if int(os.environ.get("TMX_BENCH_N128", "1")):
+    # from N=32 (128 Ed25519 lanes, 4x hash segments), so this group pays
+    # its own compiles (VERDICT r3 next-step #2).
+    if n128_on:
         if _left() > 600:
-            cb128 = _CompositeBench(128)
-            if _phase("composite_n128_cold", 2100, cb128.cold):
-                _phase("composite_n128_warm", 600, cb128.warm)
-                if do_wrap:
-                    _phase("composite_n128_wrap", 900, cb128.wrap)
+            _run_group_subprocess(128, _left() - 60)
         else:
             EXTRAS["composite_n128_skipped"] = "budget"
 

@@ -41,6 +41,11 @@ def _leaf_hashes(rows: GF) -> GF:
 
 
 @jax.jit
+def _leaf_hashes_cols(cols: GF) -> GF:
+    return ps.hash_no_pad_cols(cols)
+
+
+@jax.jit
 def _next_layer(layer: GF) -> GF:
     # layer: (n, 4) -> (n//2, 4)
     left = layer[0::2]
@@ -159,6 +164,31 @@ class MerkleTree:
         ps._pallas_ok()
         rows = pad_row_width(rows)
         leaves = (leaf_fn or _leaf_hashes)(rows)
+        return cls._from_leaves(leaves, n)
+
+    @classmethod
+    def build_cols(cls, cols: GF) -> "MerkleTree":
+        """Column-major build: cols (width, n_leaves) GF on device. Digest-
+        identical to build(cols.T) but never materializes the row-major
+        copy (ops/poseidon.hash_no_pad_cols) — the single-chip prover's
+        multi-GB LDEs are column-major, and the transposed duplicate was
+        the N=128 HBM OOM."""
+        n = int(cols.shape[1])
+        assert n & (n - 1) == 0, "n_leaves must be a power of two"
+        ps._pallas_ok()
+        w = int(cols.shape[0])
+        extra = (-w) % ps.RATE
+        if extra:
+            z = jnp.zeros((extra, n), cols.lo.dtype)
+            cols = GF(
+                jnp.concatenate([cols.lo, z], axis=0),
+                jnp.concatenate([cols.hi, z], axis=0),
+            )
+        leaves = _leaf_hashes_cols(cols)
+        return cls._from_leaves(leaves, n)
+
+    @classmethod
+    def _from_leaves(cls, leaves: GF, n: int) -> "MerkleTree":
         if n == 1:
             return cls([leaves])
         inner = _inner_layers(leaves)

@@ -381,6 +381,34 @@ def hash_no_pad(inputs: GF) -> GF:
     return state[..., :DIGEST]
 
 
+def hash_no_pad_cols(cols: GF) -> GF:
+    """Column-major batched sponge: cols (L, N) -> digests (N, 4), equal to
+    `hash_no_pad` on the transposed (N, L) rows but WITHOUT materializing
+    the row-major copy. The prover commits multi-GB column-major LDEs;
+    transposing them for row-wise hashing doubled resident HBM and OOMed
+    the 16 GB chip at the N=128 shape. Here each scan step transposes one
+    (RATE, N) chunk — a view-sized copy — and absorbs it.
+
+    L must be a positive RATE multiple (ops/merkle.py pads)."""
+    L, N = int(cols.shape[0]), int(cols.shape[1])
+    assert L % RATE == 0 and L >= RATE, (L, N)
+    n_full = L // RATE
+    lo = cols.lo.reshape(n_full, RATE, N)
+    hi = cols.hi.reshape(n_full, RATE, N)
+    # zero state derived from the input (see hash_no_pad)
+    zlo = jnp.broadcast_to(jnp.transpose(cols.lo[:1]) * 0, (N, WIDTH))
+    zhi = jnp.broadcast_to(jnp.transpose(cols.hi[:1]) * 0, (N, WIDTH))
+    state = GF(zlo, zhi)
+
+    def body(s, chunk):
+        c = GF(jnp.transpose(chunk.lo), jnp.transpose(chunk.hi))  # (N, RATE)
+        s = GF.concatenate([c, s[..., RATE:]], axis=-1)
+        return permute(s), None
+
+    state, _ = jax.lax.scan(body, state, GF(lo, hi))
+    return state[..., :DIGEST]
+
+
 def two_to_one(left: GF, right: GF) -> GF:
     """Batched 2-to-1 compression: (...,4),(...,4) -> (...,4)."""
     batch_shape = left.shape[:-1]

@@ -282,29 +282,98 @@ def _quotient_fn(air, log_n: int, rate_bits: int, shift: int):
     return fn
 
 
+# The materialized frame (n_offsets * n_total * block) is capped around
+# 2^27 elements (~1 GB lo+hi): wide AIRs at large N (the B=128 Ed25519
+# statement's 2-offset, ~2750-column, 2^18-row LDE) would otherwise
+# materialize an 11+ GB rolled view and OOM the 16 GB chip. Blocks are
+# processed sequentially through ONE compiled program (start is traced).
+_QUOTIENT_BLOCK_ELEMS = 1 << 27
+
+
 def _build_quotient_fn(air, log_n: int, rate_bits: int):
-    """Jitted end-to-end constraint-quotient evaluation for one AIR shape:
-    (trace LDE, alpha powers, publics, periodic/public columns, zerofier
-    inverses) -> Q evals over the LDE domain. Compiled once per AIR/shape;
-    eager evaluation of wide constraint systems costs ~100x more in
-    dispatch than the math itself."""
+    """Constraint-quotient evaluation for one AIR shape on the single-chip
+    path: (trace LDE, aux LDE | None, alpha powers, publics,
+    periodic/public columns, zerofier inverses) -> Q evals over the LDE
+    domain. Compiled once per AIR/shape; eager evaluation of wide
+    constraint systems costs ~100x more in dispatch than the math itself.
+    Large frames stream in row blocks (see _QUOTIENT_BLOCK_ELEMS)."""
     n = 1 << log_n
     N = n << rate_bits
     blowup = 1 << rate_bits
     offsets = list(air.frame_offsets)
-    n_cols = air.n_cols + air.n_aux_cols
+    n_total = air.n_cols + air.n_aux_cols
 
-    def f(trace_lde: GF, alpha_pows: GF2, pub: GF, periodic, public_cols, zinvs, chal: GF):
-        # all offsets at once: (n_offsets, n_cols, N) rolled views
+    frame_elems = len(offsets) * n_total * N
+    n_blocks = 1
+    while frame_elems // n_blocks > _QUOTIENT_BLOCK_ELEMS and N // n_blocks > 4096:
+        n_blocks *= 2
+    B = N // n_blocks
+
+    def full(trace_lde: GF, aux_lde, alpha_pows, pub, periodic, public_cols, zinvs, chal: GF):
+        # all offsets at once: (n_offsets, n_total, N) rolled views
+        lde = (
+            GF.concatenate([trace_lde, aux_lde], axis=0)
+            if aux_lde is not None
+            else trace_lde
+        )
         stacked = GF(
-            jnp.stack([jnp.roll(trace_lde.lo, -k * blowup, axis=1) for k in offsets]),
-            jnp.stack([jnp.roll(trace_lde.hi, -k * blowup, axis=1) for k in offsets]),
+            jnp.stack([jnp.roll(lde.lo, -k * blowup, axis=1) for k in offsets]),
+            jnp.stack([jnp.roll(lde.hi, -k * blowup, axis=1) for k in offsets]),
         )
         return _eval_quotient_core(
             air, stacked, alpha_pows, pub, periodic, public_cols, zinvs, chal, N
         )
 
-    return jax.jit(f)
+    def gather_block(lde: GF, start):
+        base = start + jnp.arange(B, dtype=jnp.uint32)
+        los, his = [], []
+        for k in offsets:
+            idx = (base + jnp.uint32(k * blowup)) % jnp.uint32(N)
+            los.append(lde.lo[:, idx])
+            his.append(lde.hi[:, idx])
+        return GF(jnp.stack(los), jnp.stack(his))
+
+    def block(trace_lde: GF, aux_lde, alpha_pows, pub, periodic, public_cols, zinvs, chal: GF, start):
+        st = gather_block(trace_lde, start)
+        if aux_lde is not None:
+            st = GF.concatenate([st, gather_block(aux_lde, start)], axis=1)
+
+        def sl(x: GF) -> GF:
+            return GF(
+                jax.lax.dynamic_slice_in_dim(x.lo, start, B, axis=0),
+                jax.lax.dynamic_slice_in_dim(x.hi, start, B, axis=0),
+            )
+
+        return _eval_quotient_core(
+            air, st, alpha_pows, pub,
+            tuple(sl(p) for p in periodic),
+            tuple(sl(p) for p in public_cols),
+            tuple(sl(z) for z in zinvs),
+            chal, B,
+        )
+
+    full_j = jax.jit(full)
+    block_j = jax.jit(block)
+
+    def f(trace_lde, aux_lde, alpha_pows, pub, periodic, public_cols, zinvs, chal):
+        if n_blocks == 1:
+            return full_j(
+                trace_lde, aux_lde, alpha_pows, pub, periodic, public_cols,
+                zinvs, chal,
+            )
+        parts = [
+            block_j(
+                trace_lde, aux_lde, alpha_pows, pub, periodic, public_cols,
+                zinvs, chal, jnp.uint32(bi * B),
+            )
+            for bi in range(n_blocks)
+        ]
+        return GF2(
+            GF.concatenate([p.c0 for p in parts], axis=0),
+            GF.concatenate([p.c1 for p in parts], axis=0),
+        )
+
+    return f
 
 
 def _eval_quotient_core(
@@ -367,13 +436,39 @@ def _deep_compose_fn(air, log_n: int, rate_bits: int):
 
 def _build_deep_fn(air, log_n: int, rate_bits: int):
     """Jitted DEEP composition: per opening group, G(x) = sum_i beta_i T_i(x)
-    (+ chunks in group 0), F = sum_g (G - G0_g) * inv(x - z_g)."""
-    n_cols = air.n_cols + air.n_aux_cols
+    (+ chunks in group 0), F = sum_g (G - G0_g) * inv(x - z_g). Takes the
+    trace and aux LDEs as separate parts (single-chip path — the combined
+    matrix would be a full extra copy of the dominant allocation)."""
+    n_main = air.n_cols
     n_offsets = len(air.frame_offsets)
     N = 1 << (log_n + rate_bits)
 
-    def f(trace_lde: GF, chunks: GF2, betas_t: GF2, betas_q: GF2, g0s: GF2, invs: GF2):
-        return _deep_core(trace_lde, chunks, betas_t, betas_q, g0s, invs, n_cols, n_offsets, N)
+    def f(trace_lde: GF, aux_lde, chunks: GF2, betas_t: GF2, betas_q: GF2, g0s: GF2, invs: GF2):
+        F = GF2.zeros((N,))
+        for gi in range(n_offsets):
+            bc0 = betas_t.c0[gi][:n_main, None].broadcast_to((n_main, N))
+            bc1 = betas_t.c1[gi][:n_main, None].broadcast_to((n_main, N))
+            G = GF2(
+                (bc0 * trace_lde).sum(axis=0), (bc1 * trace_lde).sum(axis=0)
+            )
+            if aux_lde is not None:
+                n_aux = aux_lde.shape[0]
+                ac0 = betas_t.c0[gi][n_main:, None].broadcast_to((n_aux, N))
+                ac1 = betas_t.c1[gi][n_main:, None].broadcast_to((n_aux, N))
+                G = G + GF2(
+                    (ac0 * aux_lde).sum(axis=0), (ac1 * aux_lde).sum(axis=0)
+                )
+            if gi == 0:
+                n_chunks = chunks.shape[0]
+                qb = GF2(
+                    betas_q.c0[:, None].broadcast_to((n_chunks, N)),
+                    betas_q.c1[:, None].broadcast_to((n_chunks, N)),
+                )
+                G = G + (qb * chunks).sum(axis=0)
+            g0 = g0s[gi]
+            G = G - GF2(g0.c0.broadcast_to((N,)), g0.c1.broadcast_to((N,)))
+            F = F + G * invs[gi]
+        return F
 
     return jax.jit(f)
 
@@ -520,7 +615,11 @@ def _coset_intt_fn(shift: int):
 @dataclass
 class _StmtCtx:
     """Everything a committed statement needs after FRI query sampling:
-    the trees + device row matrices for openings gathering."""
+    the trees + device matrices for openings gathering. The single-chip
+    path keeps COLUMN-major matrices (trace_cols etc. — the layout the
+    LDE/quotient/DEEP already use; a row-major duplicate doubled resident
+    HBM and OOMed the 16 GB chip at N=128); the mesh path keeps its
+    row-sharded row matrices."""
 
     air: Air
     n: int
@@ -532,12 +631,15 @@ class _StmtCtx:
     aux_cap: list | None
     quot_cap: list
     cap_bits: int
-    trace_rows: GF
+    trace_rows: GF | None
     aux_rows: GF | None
-    quot_rows: GF
+    quot_rows: GF | None
     ood_trace: list
     ood_quotient: list
     public_inputs: list[int]
+    trace_cols: GF | None = None
+    aux_cols: GF | None = None
+    quot_cols: GF | None = None
 
 
 def _prove_statement(
@@ -604,12 +706,18 @@ def _prove_statement(
         quotient_fn = _quotient_fn(air, log_n, rate_bits, shift)
         deep_fn = _deep_compose_fn(air, log_n, rate_bits)
 
-    # 1. Trace LDE + commit. Merkle rows are LDE rows: (N, n_cols).
+    # 1. Trace LDE + commit. Merkle leaves are LDE rows; the single-chip
+    #    path hashes them straight from the column-major LDE
+    #    (MerkleTree.build_cols — no (N, n_cols) transposed duplicate).
     trace_coeffs, trace_lde = lde_fn(trace_cols)
-    trace_rows = GF(
-        jnp.transpose(trace_lde.lo), jnp.transpose(trace_lde.hi)
-    )  # (N, n_cols)
-    trace_tree = MerkleTree.build(trace_rows, leaf_fn=leaf_fn)
+    if leaf_fn is None:
+        trace_rows = None
+        trace_tree = MerkleTree.build_cols(trace_lde)
+    else:
+        trace_rows = GF(
+            jnp.transpose(trace_lde.lo), jnp.transpose(trace_lde.hi)
+        )  # (N, n_cols)
+        trace_tree = MerkleTree.build(trace_rows, leaf_fn=leaf_fn)
     trace_cap = trace_tree.cap(config.cap_bits)
     challenger.observe_cap(trace_cap)
     _mark("trace-lde+commit")
@@ -639,18 +747,32 @@ def _prove_statement(
         aux_cols = air.aux_columns(trace_cols, ch_traced, list(public_inputs))
         assert tuple(aux_cols.shape) == (n_aux, n), aux_cols.shape
         aux_coeffs, aux_lde = lde_fn(aux_cols)
-        aux_rows = GF(jnp.transpose(aux_lde.lo), jnp.transpose(aux_lde.hi))
-        aux_tree = MerkleTree.build(aux_rows, leaf_fn=leaf_fn)
+        if leaf_fn is None:
+            aux_rows = None
+            aux_tree = MerkleTree.build_cols(aux_lde)
+        else:
+            aux_rows = GF(jnp.transpose(aux_lde.lo), jnp.transpose(aux_lde.hi))
+            aux_tree = MerkleTree.build(aux_rows, leaf_fn=leaf_fn)
         aux_cap = aux_tree.cap(config.cap_bits)
         challenger.observe_cap(aux_cap)
         _mark("aux-columns+commit")
-        all_lde = GF.concatenate([trace_lde, aux_lde], axis=0)
+        # single-chip: NEVER concatenate the LDEs (the concat is a full
+        # extra copy of the statement's dominant allocation; the quotient
+        # and DEEP kernels take the parts). Mesh path keeps the combined
+        # matrix its sharded kernels expect. Coefficients are n/N-th the
+        # size — the concat there is cheap and OOD wants one matrix.
+        all_lde = (
+            GF.concatenate([trace_lde, aux_lde], axis=0)
+            if mesh is not None
+            else None
+        )
         all_coeffs = GF.concatenate([trace_coeffs, aux_coeffs], axis=0)
     else:
         aux_tree = None
         aux_cap = None
         aux_rows = None
-        all_lde = trace_lde
+        aux_lde = None
+        all_lde = trace_lde if mesh is not None else None
         all_coeffs = trace_coeffs
     alpha = challenger.sample_ext()
     n_total = n_cols + n_aux
@@ -701,9 +823,15 @@ def _prove_statement(
         if chal_components
         else GF.zeros((0,))
     )
-    q_evals = quotient_fn(
-        all_lde, alpha_pows, pub_gf, periodic, public_cols, zinvs, chal_gf
-    )
+    if mesh is None:
+        q_evals = quotient_fn(
+            trace_lde, aux_lde if n_aux else None, alpha_pows, pub_gf,
+            periodic, public_cols, zinvs, chal_gf,
+        )
+    else:
+        q_evals = quotient_fn(
+            all_lde, alpha_pows, pub_gf, periodic, public_cols, zinvs, chal_gf
+        )
 
     # 3. Quotient -> coefficients -> split into degree-<n chunks -> commit.
     qc0, qc1 = _coset_intt_fn(shift)(q_evals.c0, q_evals.c1)
@@ -724,10 +852,16 @@ def _prove_statement(
     chunk_ldes = [
         GF2(chunk_lde_all[2 * j], chunk_lde_all[2 * j + 1]) for j in range(n_chunks)
     ]
-    quot_rows = GF.stack(
-        [x for ch in chunk_ldes for x in (ch.c0, ch.c1)], axis=-1
-    )  # (N, 2*n_chunks)
-    quot_tree = MerkleTree.build(quot_rows, leaf_fn=leaf_fn)
+    if leaf_fn is None:
+        # chunk_lde_all's rows are exactly the quotient leaf-row columns
+        # ([c0_0, c1_0, c0_1, ...]) — commit column-major, no transpose
+        quot_rows = None
+        quot_tree = MerkleTree.build_cols(chunk_lde_all)
+    else:
+        quot_rows = GF.stack(
+            [x for ch in chunk_ldes for x in (ch.c0, ch.c1)], axis=-1
+        )  # (N, 2*n_chunks)
+        quot_tree = MerkleTree.build(quot_rows, leaf_fn=leaf_fn)
     quot_cap = quot_tree.cap(config.cap_bits)
     challenger.observe_cap(quot_cap)
     _mark("quotient+commit")
@@ -809,9 +943,15 @@ def _prove_statement(
     )
     chunks_gf2 = GF2.stack(chunk_ldes, axis=0)  # (n_chunks, N)
 
-    F = deep_fn(
-        all_lde, chunks_gf2, betas_t_gf2, betas_q_gf2, g0s_gf2, invs_gf2
-    )
+    if mesh is None:
+        F = deep_fn(
+            trace_lde, aux_lde if n_aux else None, chunks_gf2,
+            betas_t_gf2, betas_q_gf2, g0s_gf2, invs_gf2,
+        )
+    else:
+        F = deep_fn(
+            all_lde, chunks_gf2, betas_t_gf2, betas_q_gf2, g0s_gf2, invs_gf2
+        )
     _mark("deep")
 
     ctx = _StmtCtx(
@@ -831,6 +971,9 @@ def _prove_statement(
         ood_trace=ood_trace,
         ood_quotient=ood_quot,
         public_inputs=list(public_inputs),
+        trace_cols=trace_lde if mesh is None else None,
+        aux_cols=(aux_lde if n_aux else None) if mesh is None else None,
+        quot_cols=chunk_lde_all if mesh is None else None,
     )
     ctx.mark = _mark  # phase-timer continuation for the caller
     ctx.phases = _phases
@@ -846,13 +989,24 @@ def _statement_openings(ctx: _StmtCtx, indices) -> dict:
     qarr = jnp.asarray(qs)
     from ..ops.goldilocks import fetch_ints_many
 
-    dev_arrs = [ctx.trace_rows[qarr], ctx.quot_rows[qarr]]
+    def rows_at(rows: GF | None, cols: GF | None) -> GF:
+        if rows is not None:
+            return rows[qarr]
+        # column-major storage (single-chip): gather the queried columns
+        # and transpose the tiny (n_cols, n_queries) result
+        sel = GF(cols.lo[:, qarr], cols.hi[:, qarr])
+        return GF(jnp.transpose(sel.lo), jnp.transpose(sel.hi))
+
+    dev_arrs = [
+        rows_at(ctx.trace_rows, ctx.trace_cols),
+        rows_at(ctx.quot_rows, ctx.quot_cols),
+    ]
     tg = ctx.trace_tree.sibling_gather(qs, ctx.cap_bits)
     qg = ctx.quot_tree.sibling_gather(qs, ctx.cap_bits)
     dev_arrs += [tg[0], qg[0]]
     if n_aux:
         ag = ctx.aux_tree.sibling_gather(qs, ctx.cap_bits)
-        dev_arrs += [ctx.aux_rows[qarr], ag[0]]
+        dev_arrs += [rows_at(ctx.aux_rows, ctx.aux_cols), ag[0]]
     fetched = fetch_ints_many(dev_arrs)  # ONE host fetch for all openings
     trace_sel, quot_sel = fetched[0], fetched[1]
     trace_paths = MerkleTree.decode_paths(fetched[2], tg[1], tg[2])
