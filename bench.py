@@ -46,18 +46,29 @@ if os.environ.get("TMX_BENCH_BACKEND") is None:
         "import jax, jax.numpy as jnp;"
         "print(int(jax.jit(lambda x: (x + 1).sum())(jnp.arange(8))))"
     )
-    try:
-        subprocess.run(
-            [sys.executable, "-c", _probe],
-            check=True,
-            timeout=420,
-            capture_output=True,
-        )
-        os.environ["TMX_BENCH_BACKEND"] = "accel"
-    except Exception:  # noqa: BLE001 — hang or init error: re-exec on CPU
-        os.environ["TMX_BENCH_BACKEND"] = "cpu-fallback"
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+    # two spaced attempts: the relay's outage mode is often transient
+    # (observed 2026-08-20: a probe failure followed by a healthy 1.4 s
+    # first op minutes later), and a false CPU fallback costs the whole
+    # record its accelerator numbers
+    for _attempt in (1, 2):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", _probe],
+                check=True,
+                timeout=420,
+                capture_output=True,
+            )
+            os.environ["TMX_BENCH_BACKEND"] = "accel"
+            break
+        except Exception:  # noqa: BLE001 — hang or init error
+            if _attempt == 1:
+                import time as _time
+
+                _time.sleep(60)
+                continue
+            os.environ["TMX_BENCH_BACKEND"] = "cpu-fallback"
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
 
 import jax
 
