@@ -434,43 +434,100 @@ def _deep_compose_fn(air, log_n: int, rate_bits: int):
     return fn
 
 
+# Cap on the (columns x block) working set of one DEEP block: the
+# beta-weighted column sum's field-mul temporaries are full
+# (n_cols, block) u32 arrays, ~13 of them live at the peak (XLA does not
+# fuse the broadcast-multiply chain into the reduction), so the
+# uncapped B=128 Ed25519 statement's DEEP program wanted 25.8 GB of HBM.
+_DEEP_BLOCK_ELEMS = 1 << 25
+
+
 def _build_deep_fn(air, log_n: int, rate_bits: int):
     """Jitted DEEP composition: per opening group, G(x) = sum_i beta_i T_i(x)
     (+ chunks in group 0), F = sum_g (G - G0_g) * inv(x - z_g). Takes the
     trace and aux LDEs as separate parts (single-chip path — the combined
-    matrix would be a full extra copy of the dominant allocation)."""
+    matrix would be a full extra copy of the dominant allocation), and
+    streams row blocks when the working set exceeds _DEEP_BLOCK_ELEMS
+    (pointwise in x, so blocking is exact)."""
     n_main = air.n_cols
+    n_total = n_main + air.n_aux_cols
     n_offsets = len(air.frame_offsets)
     N = 1 << (log_n + rate_bits)
 
-    def f(trace_lde: GF, aux_lde, chunks: GF2, betas_t: GF2, betas_q: GF2, g0s: GF2, invs: GF2):
-        F = GF2.zeros((N,))
+    n_blocks = 1
+    while (n_total * N) // n_blocks > _DEEP_BLOCK_ELEMS and N // n_blocks > 4096:
+        n_blocks *= 2
+    B = N // n_blocks
+
+    def core(trace_lde: GF, aux_lde, chunks: GF2, betas_t: GF2, betas_q: GF2, g0s: GF2, invs: GF2, nb: int):
+        F = GF2.zeros((nb,))
         for gi in range(n_offsets):
-            bc0 = betas_t.c0[gi][:n_main, None].broadcast_to((n_main, N))
-            bc1 = betas_t.c1[gi][:n_main, None].broadcast_to((n_main, N))
+            bc0 = betas_t.c0[gi][:n_main, None].broadcast_to((n_main, nb))
+            bc1 = betas_t.c1[gi][:n_main, None].broadcast_to((n_main, nb))
             G = GF2(
                 (bc0 * trace_lde).sum(axis=0), (bc1 * trace_lde).sum(axis=0)
             )
             if aux_lde is not None:
                 n_aux = aux_lde.shape[0]
-                ac0 = betas_t.c0[gi][n_main:, None].broadcast_to((n_aux, N))
-                ac1 = betas_t.c1[gi][n_main:, None].broadcast_to((n_aux, N))
+                ac0 = betas_t.c0[gi][n_main:, None].broadcast_to((n_aux, nb))
+                ac1 = betas_t.c1[gi][n_main:, None].broadcast_to((n_aux, nb))
                 G = G + GF2(
                     (ac0 * aux_lde).sum(axis=0), (ac1 * aux_lde).sum(axis=0)
                 )
             if gi == 0:
                 n_chunks = chunks.shape[0]
                 qb = GF2(
-                    betas_q.c0[:, None].broadcast_to((n_chunks, N)),
-                    betas_q.c1[:, None].broadcast_to((n_chunks, N)),
+                    betas_q.c0[:, None].broadcast_to((n_chunks, nb)),
+                    betas_q.c1[:, None].broadcast_to((n_chunks, nb)),
                 )
                 G = G + (qb * chunks).sum(axis=0)
             g0 = g0s[gi]
-            G = G - GF2(g0.c0.broadcast_to((N,)), g0.c1.broadcast_to((N,)))
-            F = F + G * invs[gi]
+            G = G - GF2(g0.c0.broadcast_to((nb,)), g0.c1.broadcast_to((nb,)))
+            F = F + G * GF2(invs.c0[gi], invs.c1[gi])
         return F
 
-    return jax.jit(f)
+    def full(trace_lde, aux_lde, chunks, betas_t, betas_q, g0s, invs):
+        return core(trace_lde, aux_lde, chunks, betas_t, betas_q, g0s, invs, N)
+
+    def sl2(x, start, size):
+        return jax.lax.dynamic_slice_in_dim(x, start, size, axis=-1)
+
+    def block(trace_lde, aux_lde, chunks, betas_t, betas_q, g0s, invs, start):
+        tb = GF(sl2(trace_lde.lo, start, B), sl2(trace_lde.hi, start, B))
+        ab = (
+            GF(sl2(aux_lde.lo, start, B), sl2(aux_lde.hi, start, B))
+            if aux_lde is not None
+            else None
+        )
+        cb = GF2(
+            GF(sl2(chunks.c0.lo, start, B), sl2(chunks.c0.hi, start, B)),
+            GF(sl2(chunks.c1.lo, start, B), sl2(chunks.c1.hi, start, B)),
+        )
+        ib = GF2(
+            GF(sl2(invs.c0.lo, start, B), sl2(invs.c0.hi, start, B)),
+            GF(sl2(invs.c1.lo, start, B), sl2(invs.c1.hi, start, B)),
+        )
+        return core(tb, ab, cb, betas_t, betas_q, g0s, ib, B)
+
+    full_j = jax.jit(full)
+    block_j = jax.jit(block)
+
+    def f(trace_lde, aux_lde, chunks, betas_t, betas_q, g0s, invs):
+        if n_blocks == 1:
+            return full_j(trace_lde, aux_lde, chunks, betas_t, betas_q, g0s, invs)
+        parts = [
+            block_j(
+                trace_lde, aux_lde, chunks, betas_t, betas_q, g0s, invs,
+                jnp.uint32(bi * B),
+            )
+            for bi in range(n_blocks)
+        ]
+        return GF2(
+            GF.concatenate([p.c0 for p in parts], axis=0),
+            GF.concatenate([p.c1 for p in parts], axis=0),
+        )
+
+    return f
 
 
 def _deep_core(

@@ -88,3 +88,30 @@ def test_larger_trace():
     air = FibonacciAir()
     proof = prove(air, trace, [1, 1, b_final], CFG)
     assert verify(air, proof, CFG)
+
+
+def test_blocked_prover_paths_byte_identical(monkeypatch):
+    """The HBM-streaming block paths (quotient frames + DEEP composition,
+    round 5: the B=128 Ed25519 statement's full-domain programs wanted
+    11-26 GB) must produce byte-identical proofs to the one-shot
+    programs."""
+    import json
+
+    from tendermintx_tpu.stark import prover as pr
+    from tendermintx_tpu.stark.serialize import stark_proof_to_dict
+
+    trace, b_final = fib_trace(64)
+    air = FibonacciAir()
+    p1 = prove(air, trace, [1, 1, b_final], CFG)
+    blob1 = json.dumps(stark_proof_to_dict(p1))
+    monkeypatch.setattr(pr, "_QUOTIENT_BLOCK_ELEMS", 64)
+    monkeypatch.setattr(pr, "_DEEP_BLOCK_ELEMS", 64)
+    saved = dict(pr._FN_CACHE)
+    pr._FN_CACHE.clear()
+    try:
+        p2 = prove(air, trace, [1, 1, b_final], CFG)
+    finally:
+        pr._FN_CACHE.clear()
+        pr._FN_CACHE.update(saved)
+    assert json.dumps(stark_proof_to_dict(p2)) == blob1
+    assert verify(air, p2, CFG)
