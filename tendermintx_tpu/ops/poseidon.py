@@ -276,10 +276,20 @@ def _mds_apply(state: GF, mds_t: jnp.ndarray) -> GF:
 
 def _pallas_ok() -> bool:
     """Probe (once) whether the VMEM-resident Pallas kernel runs on this
-    backend. Env kill switch: TMX_NO_PALLAS=1."""
+    backend AND the deployment opted in (TMX_PALLAS=1).
+
+    Opt-in, not default: round-5 bench runs measured the XLA dispatch at
+    12.6-15.9 MH/s vs 9.4-10.2 MH/s for the Pallas kernel on the current
+    v5e toolchain (BENCH round-5 extras: poseidon_hashes_per_s vs
+    pallas_poseidon_hashes_per_s) — XLA's fori_loop pipeline beats the
+    kernel's per-grid-step launch on this backend, so the product path
+    defaults to the faster dispatch while bench.py keeps measuring both.
+    Env kill switch TMX_NO_PALLAS=1 also still honored."""
     import os
 
     if os.environ.get("TMX_NO_PALLAS") == "1":
+        return False
+    if os.environ.get("TMX_PALLAS") != "1":
         return False
     from . import poseidon_pallas as pp
 
