@@ -427,33 +427,44 @@ def _run_group_subprocess(n: int, budget: float) -> None:
     env = dict(os.environ)
     env["TMX_BENCH_ONLY"] = str(n)
     env["TMX_BENCH_BUDGET"] = str(int(budget))
-    out = ""
+    merged = {"any": False}
     try:
-        r = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=budget + 120,
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True,
         )
-        out = r.stdout or ""
-    except subprocess.TimeoutExpired as e:
-        so = e.stdout
-        out = so.decode() if isinstance(so, bytes) else (so or "")
-        EXTRAS[f"composite_n{n}_group_timeout_s"] = round(budget + 120)
     except Exception as e:  # noqa: BLE001
         EXTRAS[f"composite_n{n}_group_error"] = repr(e)[:300]
-    last = None
-    for line in out.splitlines():
-        try:
-            parsed = json.loads(line)
-        except ValueError:
-            continue
-        if isinstance(parsed, dict) and isinstance(parsed.get("extras"), dict):
-            last = parsed
-    if last is not None:
-        for k, v in last["extras"].items():
-            if k not in ("backend", "elapsed_s"):
-                EXTRAS[k] = v
-    else:
-        EXTRAS[f"composite_n{n}_group_no_record"] = out[-200:] or "no output"
+        _emit()
+        return
+
+    # stream the child's per-phase emits LIVE into the parent record: a
+    # driver kill of the parent mid-group must cost only the child's
+    # in-flight phase, not its whole group
+    def reader():
+        for line in proc.stdout:
+            try:
+                parsed = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(parsed, dict) and isinstance(parsed.get("extras"), dict):
+                merged["any"] = True
+                for k, v in parsed["extras"].items():
+                    if k not in ("backend", "elapsed_s"):
+                        EXTRAS[k] = v
+                _emit()
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        proc.wait(timeout=budget + 120)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        EXTRAS[f"composite_n{n}_group_timeout_s"] = round(budget + 120)
+    t.join(15)
+    if not merged["any"]:
+        EXTRAS[f"composite_n{n}_group_no_record"] = True
     _emit()
 
 
