@@ -518,30 +518,30 @@ def main():
     _phase("merkle", 420, lambda: EXTRAS.__setitem__("merkle_leaves_per_s", round(bench_merkle(), 1)))
 
     # Composite groups run in FRESH child processes (their own HBM — see
-    # _run_group_subprocess). The dev shape: cold (every per-process XLA
+    # _run_group_subprocess). Each group: cold (every per-process XLA
     # compile), warm (a SECOND height with all programs compiled — the
     # steady-state latency of a long-running prover, the deployment shape:
     # `serve` keeps one process resident, and the reference's own 4-10 min
     # figure is likewise a warm hosted service, README.md:90), then wrap.
+    #
+    # The north-star N=128 shape (beyond the reference's N=100 production
+    # max, /root/reference/circuits/consts.rs:4; BASELINE.md target) runs
+    # FIRST with the larger budget share: if the relay is slow, the
+    # headline metric must be the one that survives (VERDICT r3 #2).
     n128_on = bool(int(os.environ.get("TMX_BENCH_N128", "1")))
-    if _left() > 300:
-        # reserve roughly half the remainder for the north-star N=128 group
-        b32 = _left() - 60
-        if n128_on:
-            b32 = min(b32, max(_left() * 0.5, _left() - 3000))
-        _run_group_subprocess(_N, b32)
-    else:
-        EXTRAS[f"composite_n{_N}_skipped"] = "budget"
-
-    # The north-star shape: N=128 (beyond the reference's N=100 production
-    # max, /root/reference/circuits/consts.rs:4). Its trace shapes differ
-    # from N=32 (128 Ed25519 lanes, 4x hash segments), so this group pays
-    # its own compiles (VERDICT r3 next-step #2).
     if n128_on:
         if _left() > 600:
-            _run_group_subprocess(128, _left() - 60)
+            b128 = _left() - 60
+            # leave the dev-shape group ~1/3 of the remainder
+            b128 = min(b128, max(_left() * 0.62, _left() - 1500))
+            _run_group_subprocess(128, b128)
         else:
             EXTRAS["composite_n128_skipped"] = "budget"
+
+    if _left() > 300:
+        _run_group_subprocess(_N, _left() - 60)
+    else:
+        EXTRAS[f"composite_n{_N}_skipped"] = "budget"
 
     # leaf STARK last: its compiled shapes are mostly disjoint from the
     # composite's, so it must never eat budget the north star needs
