@@ -601,7 +601,6 @@ def execute_tape(tape: Tape, inputs: list[int]):
     av = np.zeros((T, 2), dtype=np.uint64)
     bv = np.zeros((T, 2), dtype=np.uint64)
     cv = np.zeros((T, 2), dtype=np.uint64)
-    it = iter(range(tape.n_inputs))
     inp_pos = 0
     op_arr, a_arr, b_arr, c_arr = tape.op, tape.a, tape.b, tape.c
     const = tape.const
