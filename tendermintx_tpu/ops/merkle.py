@@ -137,6 +137,14 @@ class MerkleTree:
     def n_leaves(self) -> int:
         return int(self.dev_layers[0].shape[0])
 
+    def cap_dev(self, cap_bits: int) -> GF:
+        """The cap as its DEVICE (2^min(cap_bits, depth), 4) digest layer —
+        no host fetch. Callers that drive the transcript on device
+        (stark/challenger.DeviceChallenger) absorb this and batch the host
+        fetch with everything else at the end of the commit phase."""
+        depth = len(self.dev_layers) - 1
+        return self.dev_layers[depth - min(cap_bits, depth)]
+
     def cap(self, cap_bits: int) -> list[list[int]]:
         """The 2^min(cap_bits, depth) digests at cap depth (ONE host fetch)."""
         depth = len(self.dev_layers) - 1

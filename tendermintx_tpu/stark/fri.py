@@ -42,7 +42,7 @@ def _caps_well_formed(caps, n: int, cap_bits: int) -> bool:
         if any(len(d) != 4 for d in cap):
             return False
     return True
-from .challenger import Challenger
+from .challenger import Challenger, DeviceChallenger
 
 
 @dataclass
@@ -122,6 +122,32 @@ def _commit_layer(evals: GF2) -> MerkleTree:
     return MerkleTree.build(rows)
 
 
+def _pair_gf2(pair: GF) -> GF2:
+    """Device GF (2,) -> GF2 scalar of shape (1,) (a sampled ext value)."""
+    return GF2(
+        GF(pair.lo[0:1], pair.hi[0:1]), GF(pair.lo[1:2], pair.hi[1:2])
+    )
+
+
+def _replay_cap(challenger: Challenger, cap_ints, beta_ints) -> list[list[int]]:
+    """Replay one commit-loop step on the HOST challenger: observe the
+    fetched cap, sample the ext challenge, and require it to equal what the
+    device sponge produced (any divergence is an implementation bug that
+    must fail loudly, never emit an unverifiable proof)."""
+    cap = [[int(v) for v in row] for row in cap_ints]
+    challenger.observe_cap(cap)
+    if challenger.sample_ext() != (int(beta_ints[0]), int(beta_ints[1])):
+        raise RuntimeError("device FRI transcript diverged from host replay")
+    return cap
+
+
+def _replay_sample(challenger: Challenger, val_ints) -> tuple[int, int]:
+    got = (int(val_ints[0]), int(val_ints[1]))
+    if challenger.sample_ext() != got:
+        raise RuntimeError("device FRI transcript diverged from host replay")
+    return got
+
+
 # ---------------------------------------------------------------------------
 # Prover
 # ---------------------------------------------------------------------------
@@ -160,24 +186,28 @@ def fri_prove(
 
     layers: list[GF2] = [evals]
     trees: list[MerkleTree] = []
-    caps: list[list[list[int]]] = []
     cur_shift = shift % P
     cur = evals
     cur_n = n
 
     # Commit phase: fold until the claimed degree fits in final_poly_len.
+    # The transcript runs ON DEVICE (DeviceChallenger) so no layer blocks
+    # on a cap fetch — one batched fetch at the end covers every cap, every
+    # sampled beta (cross-checked against the host replay) and the final
+    # layer. Per-layer cap fetches were ~0.7 s each through the TPU relay.
+    dc = DeviceChallenger(challenger)
+    cap_devs: list[GF] = []
+    beta_devs: list[GF] = []
     while cur_n > config.final_poly_len << config.rate_bits:
         tree = _commit_layer(cur)
         trees.append(tree)
-        cap = tree.cap(config.cap_bits)
-        caps.append(cap)
-        challenger.observe_cap(cap)
-        beta = challenger.sample_ext()
+        cap_dev = tree.cap_dev(config.cap_bits)
+        cap_devs.append(cap_dev)
+        beta_dev = dc.observe_rows_sample(cap_dev, 2)
+        beta_devs.append(beta_dev)
         invx = _inv_x_table(cur_n.bit_length() - 1, cur_shift)
         invx_gf = GF(jnp.asarray(invx[0]), jnp.asarray(invx[1]))
-        beta_gf2 = GF2(
-            _gf_scalar(beta[0], (1,)), _gf_scalar(beta[1], (1,))
-        )
+        beta_gf2 = _pair_gf2(beta_dev)
         if fold_sh is not None and cur_n >= 4 * n_dev:
             cur = fold_sh(cur, invx_gf, beta_gf2)
         else:
@@ -186,9 +216,20 @@ def fri_prove(
         cur_n //= 2
         layers.append(cur)
 
+    # ONE host fetch: caps, device betas, final layer.
+    from ..ops.goldilocks import fetch_ints_many
+
+    fetched = fetch_ints_many(
+        cap_devs + beta_devs + [GF.stack([cur.c0, cur.c1], axis=-1)]
+    )
+    k = len(cap_devs)
+    caps = [_replay_cap(challenger, fetched[i], fetched[k + i]) for i in range(k)]
+    fin = fetched[-1]
+
     # Final polynomial: iNTT the last layer on host (small), unscale coset.
-    c0, c1 = cur.to_ints()
-    final_coeffs = _coset_intt_ext(list(zip(c0.tolist(), c1.tolist())), cur_shift)
+    final_coeffs = _coset_intt_ext(
+        [(int(r[0]), int(r[1])) for r in fin], cur_shift
+    )
     # trim: degree < cur_n / 2^rate_bits
     keep = cur_n >> config.rate_bits
     assert all(c == (0, 0) for c in final_coeffs[keep:]), "final poly degree too high"
@@ -356,17 +397,20 @@ def fri_prove_batch(
 
     layers: list[GF2] = []
     trees: list[MerkleTree] = []
-    caps: list[list[list[int]]] = []
     cur = None
     cur_n = n
     cur_shift = shift % P
     oi = 0
+    # Device transcript (see fri_prove): lambdas and betas are sampled as
+    # device scalars, the host challenger is replayed + cross-checked after
+    # ONE batched fetch of everything the loop produced.
+    dc = DeviceChallenger(challenger)
+    op_log: list[tuple] = []  # ("lam", dev(2,)) | ("cap", cap_dev, beta_dev)
     while True:
         while oi < len(order) and sizes[order[oi]] == cur_n:
-            lam = challenger.sample_ext()
-            lam_gf2 = GF2(
-                _gf_scalar(lam[0], (1,)), _gf_scalar(lam[1], (1,))
-            )
+            lam_dev = dc.sample_many(2)
+            op_log.append(("lam", lam_dev))
+            lam_gf2 = _pair_gf2(lam_dev)
             F = codewords[order[oi]]
             cur = (
                 _scale_fn(lam_gf2, F)
@@ -379,14 +423,13 @@ def fri_prove_batch(
         assert cur_n > 1, "codeword sizes inconsistent"
         tree = _commit_layer(cur)
         trees.append(tree)
-        cap = tree.cap(config.cap_bits)
-        caps.append(cap)
         layers.append(cur)
-        challenger.observe_cap(cap)
-        beta = challenger.sample_ext()
+        cap_dev = tree.cap_dev(config.cap_bits)
+        beta_dev = dc.observe_rows_sample(cap_dev, 2)
+        op_log.append(("cap", cap_dev, beta_dev))
         invx = _inv_x_table(cur_n.bit_length() - 1, cur_shift)
         invx_gf = GF(jnp.asarray(invx[0]), jnp.asarray(invx[1]))
-        beta_gf2 = GF2(_gf_scalar(beta[0], (1,)), _gf_scalar(beta[1], (1,)))
+        beta_gf2 = _pair_gf2(beta_dev)
         if fold_sh is not None and cur_n >= 4 * n_dev:
             cur = fold_sh(cur, invx_gf, beta_gf2)
         else:
@@ -394,9 +437,27 @@ def fri_prove_batch(
         cur_shift = cur_shift * cur_shift % P
         cur_n //= 2
 
+    # ONE host fetch for the whole commit phase, then host replay.
+    from ..ops.goldilocks import fetch_ints_many
+
+    dev_arrs = [a for op in op_log for a in op[1:]]
+    dev_arrs.append(GF.stack([cur.c0, cur.c1], axis=-1))
+    fetched = fetch_ints_many(dev_arrs)
+    caps: list[list[list[int]]] = []
+    fi = 0
+    for op in op_log:
+        if op[0] == "lam":
+            _replay_sample(challenger, fetched[fi])
+            fi += 1
+        else:
+            caps.append(_replay_cap(challenger, fetched[fi], fetched[fi + 1]))
+            fi += 2
+    fin = fetched[-1]
+
     # Final polynomial (host iNTT of the small last layer).
-    c0, c1 = cur.to_ints()
-    final_coeffs = _coset_intt_ext(list(zip(c0.tolist(), c1.tolist())), cur_shift)
+    final_coeffs = _coset_intt_ext(
+        [(int(r[0]), int(r[1])) for r in fin], cur_shift
+    )
     keep = max(cur_n >> config.rate_bits, 1)
     assert all(c == (0, 0) for c in final_coeffs[keep:]), "final poly degree too high"
     final_coeffs = final_coeffs[:keep]

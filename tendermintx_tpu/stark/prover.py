@@ -31,7 +31,7 @@ from ..ops.ext import GF2, ext_add, ext_inv, ext_mul, ext_pow, ext_sub
 from ..ops.goldilocks import GF, P, MULTIPLICATIVE_GENERATOR, from_int_array
 from ..ops.merkle import MerkleTree
 from .air import Air, DeviceAlgebra, Frame, HostAlgebra, HostFelt
-from .challenger import Challenger
+from .challenger import Challenger, DeviceChallenger
 from .fri import FriConfig, FriProof, fri_prove
 
 log = logging.getLogger(__name__)
@@ -738,6 +738,15 @@ def _prove_statement(
         _t0 = now
 
     challenger.observe_elements(public_inputs)
+    # Commit-phase transcript runs ON DEVICE (stark/challenger.py
+    # DeviceChallenger): caps are absorbed and challenges sampled as device
+    # scalars so none of the three commitments blocks on a host fetch —
+    # everything is fetched ONCE with the OOD values, then the host
+    # challenger is replayed over the fetched caps and cross-checked.
+    # Through the remote-TPU relay each blocking cap fetch costs ~0.7 s;
+    # three per statement across three statements was ~6 s of the N=128
+    # composite's serial time.
+    dc = DeviceChallenger(challenger)
 
     # Sharded-phase functions (memoized per AIR shape + mesh).
     if mesh is not None:
@@ -775,31 +784,29 @@ def _prove_statement(
             jnp.transpose(trace_lde.lo), jnp.transpose(trace_lde.hi)
         )  # (N, n_cols)
         trace_tree = MerkleTree.build(trace_rows, leaf_fn=leaf_fn)
-    trace_cap = trace_tree.cap(config.cap_bits)
-    challenger.observe_cap(trace_cap)
+    trace_cap_dev = trace_tree.cap_dev(config.cap_bits)
+    ch_dev = dc.observe_rows_sample(trace_cap_dev, 2 * air.n_challenges)
     _mark("trace-lde+commit")
 
     # 1b. Phase-2 (auxiliary) commitment: sample challenges from the
     #     transcript, derive aux columns (lookup/permutation witnesses),
     #     commit them separately.
-    challenges = [challenger.sample_ext() for _ in range(air.n_challenges)]
     n_aux = air.n_aux_cols
     if n_aux:
         # aux_columns implementations dispatch a handful of jitted kernels
         # (see lookup.build_aux) — NOT one fused jit program, which trips
         # XLA:CPU pathologies, and NOT thousands of eager primitives,
         # which cost minutes through the remote-TPU relay. Challenges are
-        # passed as traced scalars so the kernels don't retrace per proof.
+        # passed as device scalars so the kernels don't retrace per proof.
         ch_traced = [
             GF2(
+                GF(ch_dev.lo[2 * i : 2 * i + 1], ch_dev.hi[2 * i : 2 * i + 1]),
                 GF(
-                    jnp.uint32(c0 & 0xFFFFFFFF), jnp.uint32(c0 >> 32)
-                ).broadcast_to((1,)),
-                GF(
-                    jnp.uint32(c1 & 0xFFFFFFFF), jnp.uint32(c1 >> 32)
-                ).broadcast_to((1,)),
+                    ch_dev.lo[2 * i + 1 : 2 * i + 2],
+                    ch_dev.hi[2 * i + 1 : 2 * i + 2],
+                ),
             )
-            for (c0, c1) in challenges
+            for i in range(air.n_challenges)
         ]
         aux_cols = air.aux_columns(trace_cols, ch_traced, list(public_inputs))
         assert tuple(aux_cols.shape) == (n_aux, n), aux_cols.shape
@@ -810,8 +817,8 @@ def _prove_statement(
         else:
             aux_rows = GF(jnp.transpose(aux_lde.lo), jnp.transpose(aux_lde.hi))
             aux_tree = MerkleTree.build(aux_rows, leaf_fn=leaf_fn)
-        aux_cap = aux_tree.cap(config.cap_bits)
-        challenger.observe_cap(aux_cap)
+        aux_cap_dev = aux_tree.cap_dev(config.cap_bits)
+        alpha_dev = dc.observe_rows_sample(aux_cap_dev, 2)
         _mark("aux-columns+commit")
         # single-chip: NEVER concatenate the LDEs (the concat is a full
         # extra copy of the statement's dominant allocation; the quotient
@@ -826,24 +833,23 @@ def _prove_statement(
         all_coeffs = GF.concatenate([trace_coeffs, aux_coeffs], axis=0)
     else:
         aux_tree = None
-        aux_cap = None
+        aux_cap_dev = None
         aux_rows = None
         aux_lde = None
         all_lde = trace_lde if mesh is not None else None
         all_coeffs = trace_coeffs
-    alpha = challenger.sample_ext()
+        alpha_dev = dc.sample_many(2)
     n_total = n_cols + n_aux
 
     # 2. Constraint evaluation on the LDE domain (one jitted program).
     offsets = list(air.frame_offsets)
     assert offsets[0] == 0, "frame_offsets must start with 0"
     n_constraints = air.n_constraints
-    alpha_list = []
-    a_pow = (1, 0)
-    for _ in range(n_constraints):
-        alpha_list.append(a_pow)
-        a_pow = ext_mul(a_pow, alpha)
-    alpha_pows = _ext_list_to_gf2(alpha_list)
+    alpha_gf2 = GF2(
+        GF(alpha_dev.lo[0:1], alpha_dev.hi[0:1]),
+        GF(alpha_dev.lo[1:2], alpha_dev.hi[1:2]),
+    )
+    alpha_pows = _zpowers_fn(alpha_gf2, n_constraints)  # device scan
     pub_gf = GF.from_ints(np.array([v % P for v in public_inputs], dtype=object)) \
         if public_inputs else GF.zeros((0,))
     periodic = tuple(
@@ -874,12 +880,7 @@ def _prove_statement(
     tz, fz, lz, cz = _zerofier_inverses(log_n, rate_bits, shift)
     zinvs = (_np_gf(fz), _np_gf(tz), _np_gf(cz), _np_gf(lz))
 
-    chal_components = [c for ch in challenges for c in ch]
-    chal_gf = (
-        GF.from_ints(np.array([v % P for v in chal_components], dtype=object))
-        if chal_components
-        else GF.zeros((0,))
-    )
+    chal_gf = ch_dev  # (2 * n_challenges,) interleaved [c0, c1] per challenge
     if mesh is None:
         q_evals = quotient_fn(
             trace_lde, aux_lde if n_aux else None, alpha_pows, pub_gf,
@@ -919,14 +920,16 @@ def _prove_statement(
             [x for ch in chunk_ldes for x in (ch.c0, ch.c1)], axis=-1
         )  # (N, 2*n_chunks)
         quot_tree = MerkleTree.build(quot_rows, leaf_fn=leaf_fn)
-    quot_cap = quot_tree.cap(config.cap_bits)
-    challenger.observe_cap(quot_cap)
+    quot_cap_dev = quot_tree.cap_dev(config.cap_bits)
+    z_dev = dc.observe_rows_sample(quot_cap_dev, 2)
     _mark("quotient+commit")
-    z = challenger.sample_ext()
 
     # 4. OOD evaluations at z * g^k for every frame offset k (device).
     g_trace = nttmod.primitive_root_of_unity(log_n)
-    zpow = _zpowers_fn(_ext_scalar(z), n)
+    z_gf2 = GF2(
+        GF(z_dev.lo[0:1], z_dev.hi[0:1]), GF(z_dev.lo[1:2], z_dev.hi[1:2])
+    )
+    zpow = _zpowers_fn(z_gf2, n)
     gk = _np_gf(_gk_table(log_n, tuple(offsets)))
     ood_dev = _ood_trace_fn(all_coeffs, zpow, gk)  # (n_offsets, n_total)
     chunk_ext = GF2(
@@ -936,9 +939,43 @@ def _prove_statement(
     oq_dev = _ood_ext_fn(chunk_ext, zpow)
     from ..ops.goldilocks import fetch_ints_many as _fetch_many
 
-    od_c0, od_c1, oq_c0, oq_c1 = _fetch_many(
-        [ood_dev.c0, ood_dev.c1, oq_dev.c0, oq_dev.c1]
-    )  # one relay round-trip for all OOD values
+    # ONE relay round-trip for the whole statement: all three caps, every
+    # device-sampled challenge (cross-checked below) and the OOD values.
+    fetched = _fetch_many(
+        [trace_cap_dev]
+        + ([aux_cap_dev] if n_aux else [])
+        + [quot_cap_dev, ch_dev, alpha_dev, z_dev]
+        + [ood_dev.c0, ood_dev.c1, oq_dev.c0, oq_dev.c1]
+    )
+    fi = 0
+
+    def _cap_ints(arr):
+        return [[int(v) for v in row] for row in arr]
+
+    def _check(vals, count):
+        got = [challenger.sample_ext() for _ in range(count)]
+        want = [
+            (int(vals[2 * i]), int(vals[2 * i + 1])) for i in range(count)
+        ]
+        if got != want:
+            raise RuntimeError(
+                "device statement transcript diverged from host replay"
+            )
+        return got
+
+    trace_cap = _cap_ints(fetched[fi]); fi += 1
+    challenger.observe_cap(trace_cap)
+    aux_cap = None
+    if n_aux:
+        aux_cap = _cap_ints(fetched[fi]); fi += 1
+    quot_cap = _cap_ints(fetched[fi]); fi += 1
+    _check(fetched[fi], air.n_challenges); fi += 1  # challenges
+    if n_aux:
+        challenger.observe_cap(aux_cap)
+    _check(fetched[fi], 1); fi += 1  # alpha
+    challenger.observe_cap(quot_cap)
+    [z] = _check(fetched[fi], 1); fi += 1
+    od_c0, od_c1, oq_c0, oq_c1 = fetched[fi : fi + 4]
     ood_trace = [
         [
             (int(od_c0[ki][i]), int(od_c1[ki][i]))
